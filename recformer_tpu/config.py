@@ -1,0 +1,194 @@
+"""Single-source-of-truth configuration for the TPU-native Recformer framework.
+
+The reference scatters configuration across an HF ``LongformerConfig`` subclass
+(``/root/reference/recformer/models.py:24-55``) plus hard-coded per-driver
+overrides repeated in six places (e.g. ``/root/reference/finetune.py:202-209``).
+Here there is exactly one typed, frozen dataclass; the canonical training recipe
+is a constructor, not a copy-pasted override block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class RecformerConfig:
+    """Model + data-contract hyperparameters.
+
+    Field semantics follow the reference (``recformer/models.py:24-55``):
+
+    - ``token_type_size=4``: token types are 0=<s>, 1=attribute key,
+      2=attribute value, 3=<pad>.
+    - ``max_item_embeddings``: max items per sequence + 1 (item position 0 is
+      reserved for the <s> token; padding uses ``max_item_embeddings - 1``).
+    - ``max_token_num``: hard cap on tokens per sequence. On TPU this is also
+      the *static* padded length of every sequence-tower batch.
+    """
+
+    # --- text/backbone (longformer-base-4096 geometry) ---
+    vocab_size: int = 50265
+    hidden_size: int = 768
+    num_hidden_layers: int = 12
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_act: str = "gelu"
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    max_position_embeddings: int = 4098
+    layer_norm_eps: float = 1e-5
+    initializer_range: float = 0.02
+
+    # --- special token ids (RoBERTa/Longformer conventions) ---
+    pad_token_id: int = 1
+    bos_token_id: int = 0
+    eos_token_id: int = 2
+    sep_token_id: int = 2
+    mask_token_id: int = 50264
+
+    # --- attention ---
+    # One window per layer; each token attends to window/2 tokens on each side.
+    attention_window: Tuple[int, ...] = (64,) * 12
+    # 'dense' = full masked attention (numerics oracle),
+    # 'chunked' = XLA sliding-chunks banded attention,
+    # 'pallas' = fused Pallas windowed+global kernel.
+    attention_impl: str = "chunked"
+
+    # --- rec-specific data contract ---
+    token_type_size: int = 4
+    max_token_num: int = 1024
+    max_item_embeddings: int = 51
+    max_attr_num: int = 3
+    max_attr_length: int = 32
+
+    # --- heads / losses ---
+    pooler_type: str = "cls"  # 'cls' | 'avg'
+    temp: float = 0.05
+    mlm_weight: float = 0.1
+    mlm_probability: float = 0.15
+    item_num: int = 0
+    finetune_negative_sample_size: int = 0
+    pos_weight: float = 1.0  # fraud BCE positive-class weight
+
+    # --- TPU execution ---
+    dtype: str = "bfloat16"  # compute dtype
+    param_dtype: str = "float32"
+    # Static padded length of the single-item tower in pretraining / item
+    # encoding. The reference pads item views to the same dynamic length as
+    # sequence views; on TPU we give the item tower its own short static shape.
+    # Must be a multiple of the attention window and >= the max item token
+    # count (1 + max_attr_num * max_attr_length).
+    item_seq_len: int = 128
+    # Reference parity: the reference's contrastive loss only backprops through
+    # the local shard of gathered embeddings (models.py:475-490). JAX's
+    # all_gather is natively differentiable; 'full' uses that (better
+    # gradients), 'local' reproduces the reference's stop-gradient-on-remotes.
+    contrastive_gradient: str = "full"
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        if isinstance(self.attention_window, int):
+            object.__setattr__(
+                self,
+                "attention_window",
+                (self.attention_window,) * self.num_hidden_layers,
+            )
+        else:
+            object.__setattr__(self, "attention_window", tuple(self.attention_window))
+        if len(self.attention_window) != self.num_hidden_layers:
+            raise ValueError(
+                f"len(attention_window)={len(self.attention_window)} must equal "
+                f"num_hidden_layers={self.num_hidden_layers}"
+            )
+        for w in self.attention_window:
+            if w <= 0 or w % 2:
+                raise ValueError(f"attention_window entries must be positive and even, got {w}")
+        if self.max_token_num % max(self.attention_window):
+            raise ValueError(
+                "max_token_num must be a multiple of the largest attention window "
+                f"({self.max_token_num} % {max(self.attention_window)} != 0)"
+            )
+        if self.item_seq_len % max(self.attention_window):
+            raise ValueError("item_seq_len must be a multiple of the largest attention window")
+        if self.hidden_size % self.num_attention_heads:
+            raise ValueError("hidden_size must be divisible by num_attention_heads")
+        if self.pooler_type not in ("cls", "avg"):
+            raise ValueError(f"unknown pooler_type {self.pooler_type!r}")
+        if self.attention_impl not in ("dense", "chunked", "pallas"):
+            raise ValueError(f"unknown attention_impl {self.attention_impl!r}")
+        if self.contrastive_gradient not in ("full", "local"):
+            raise ValueError(f"unknown contrastive_gradient {self.contrastive_gradient!r}")
+
+    # ------------------------------------------------------------------
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def max_item_token_len(self) -> int:
+        """Max tokens a single encoded item can contribute."""
+        return self.max_attr_num * self.max_attr_length
+
+    @property
+    def compute_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def params_dtype(self):
+        return jnp.dtype(self.param_dtype)
+
+    def replace(self, **kw) -> "RecformerConfig":
+        return dataclasses.replace(self, **kw)
+
+    # --- canonical recipes -------------------------------------------
+    @classmethod
+    def base(cls, **kw) -> "RecformerConfig":
+        """The canonical recipe used by every reference driver
+        (``/root/reference/finetune.py:202-209``): longformer-base backbone,
+        window 64, 1024 tokens, 51 item positions, 3x32 attributes."""
+        return cls(**kw)
+
+    @classmethod
+    def tiny(cls, **kw) -> "RecformerConfig":
+        """Small config for tests and CI: 2 layers, hidden 64, window 16."""
+        defaults = dict(
+            vocab_size=1024,
+            hidden_size=64,
+            num_hidden_layers=2,
+            num_attention_heads=4,
+            intermediate_size=128,
+            max_position_embeddings=520,
+            attention_window=(16, 16),
+            max_token_num=256,
+            max_item_embeddings=11,
+            max_attr_num=3,
+            max_attr_length=8,
+            item_seq_len=32,
+            mask_token_id=1023,
+        )
+        defaults.update(kw)
+        return cls(**defaults)
+
+    # --- (de)serialization -------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, text: str) -> "RecformerConfig":
+        raw = json.loads(text)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in known})
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> "RecformerConfig":
+        with open(path) as f:
+            return cls.from_json(f.read())

@@ -1,0 +1,122 @@
+"""Longformer-style transformer encoder in flax.
+
+Re-implements the behavioral contract of HF's ``LongformerEncoder`` as used by
+the reference backbone (``/root/reference/recformer/models.py:335-343``):
+post-LayerNorm transformer blocks whose self-attention is windowed + global
+(see ``recformer_tpu/ops/attention.py``), with dedicated global-attention
+projections, per-layer attention windows, and fp32 softmax.
+
+The attention implementation is selected by ``config.attention_impl``
+('dense' oracle / 'chunked' XLA / 'pallas' fused kernel).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import RecformerConfig
+from ..ops.attention import chunked_attention, dense_attention
+
+
+class LongformerSelfAttention(nn.Module):
+    config: RecformerConfig
+    window: int
+
+    @nn.compact
+    def __call__(self, hidden: jnp.ndarray, mask: jnp.ndarray, deterministic: bool = True):
+        cfg = self.config
+        B, L, _ = hidden.shape
+        H, D = cfg.num_attention_heads, cfg.head_dim
+        dtype = cfg.compute_dtype
+        init = nn.initializers.normal(cfg.initializer_range)
+
+        def proj(name):
+            return nn.Dense(cfg.hidden_size, kernel_init=init, dtype=dtype,
+                            param_dtype=cfg.params_dtype, name=name)
+
+        def heads(x):
+            return x.reshape(B, L, H, D)
+
+        q = heads(proj("query")(hidden))
+        k = heads(proj("key")(hidden))
+        v = heads(proj("value")(hidden))
+        q_g = heads(proj("query_global")(hidden))
+        k_g = heads(proj("key_global")(hidden))
+        v_g = heads(proj("value_global")(hidden))
+
+        if cfg.attention_impl == "dense":
+            out = dense_attention(q, k, v, q_g, k_g, v_g, mask, self.window)
+        elif cfg.attention_impl == "chunked":
+            block = min(128, L)
+            out = chunked_attention(q, k, v, q_g, k_g, v_g, mask, self.window, block=block)
+        elif cfg.attention_impl == "pallas":
+            from ..ops.pallas_attention import pallas_window_attention
+
+            out = pallas_window_attention(q, k, v, q_g, k_g, v_g, mask, self.window)
+        else:  # pragma: no cover
+            raise ValueError(cfg.attention_impl)
+
+        return out.reshape(B, L, cfg.hidden_size)
+
+
+class AttentionBlock(nn.Module):
+    config: RecformerConfig
+    window: int
+
+    @nn.compact
+    def __call__(self, hidden, mask, deterministic=True):
+        cfg = self.config
+        attn = LongformerSelfAttention(cfg, self.window, name="self")(
+            hidden, mask, deterministic
+        )
+        dense = nn.Dense(cfg.hidden_size, kernel_init=nn.initializers.normal(cfg.initializer_range),
+                         dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype, name="output_dense")
+        out = dense(attn)
+        out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
+        out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.compute_dtype,
+                           param_dtype=cfg.params_dtype, name="output_LayerNorm")(out + hidden)
+        return out
+
+
+class FeedForwardBlock(nn.Module):
+    config: RecformerConfig
+
+    @nn.compact
+    def __call__(self, hidden, deterministic=True):
+        cfg = self.config
+        init = nn.initializers.normal(cfg.initializer_range)
+        x = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=cfg.compute_dtype,
+                     param_dtype=cfg.params_dtype, name="intermediate_dense")(hidden)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=cfg.compute_dtype,
+                     param_dtype=cfg.params_dtype, name="output_dense")(x)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.compute_dtype,
+                         param_dtype=cfg.params_dtype, name="output_LayerNorm")(x + hidden)
+        return x
+
+
+class EncoderLayer(nn.Module):
+    config: RecformerConfig
+    window: int
+
+    @nn.compact
+    def __call__(self, hidden, mask, deterministic=True):
+        hidden = AttentionBlock(self.config, self.window, name="attention")(
+            hidden, mask, deterministic
+        )
+        hidden = FeedForwardBlock(self.config, name="ffn")(hidden, deterministic)
+        return hidden
+
+
+class LongformerEncoder(nn.Module):
+    config: RecformerConfig
+
+    @nn.compact
+    def __call__(self, hidden, mask, deterministic=True):
+        for i, window in enumerate(self.config.attention_window):
+            hidden = EncoderLayer(self.config, window, name=f"layer_{i}")(
+                hidden, mask, deterministic
+            )
+        return hidden

@@ -1,0 +1,189 @@
+"""Longformer-style windowed + global attention, TPU-first.
+
+Behavioral spec (re-derived from HF ``modeling_longformer.py`` as used by the
+reference at ``/root/reference/recformer/models.py:12-18,335``):
+
+Inputs carry a per-token mask with coding {0 = padding, 1 = local, 2 = global}
+(``models.py:262-272``). Semantics:
+
+- A *local* query at position i attends to (a) every global position and
+  (b) local positions j with ``|i - j| <= window // 2``. Global positions are
+  excluded from the windowed key set (they enter once, via (a)).
+- A *global* query attends to every non-padding position, and uses a separate
+  set of projections (q_g, k_g, v_g) — matching Longformer's dedicated global
+  projections.
+- Padding queries produce zeros; padding keys are never attended.
+- Scores are scaled by ``1/sqrt(head_dim)``; softmax runs in float32.
+
+Implementations:
+
+- :func:`dense_attention` — O(L^2) fully masked attention. Numerics oracle for
+  tests and small shapes.
+- :func:`chunked_attention` — banded sliding-chunks attention in pure XLA:
+  keys are gathered into per-query-block bands of width ``block + window`` so
+  every matmul is a static-shaped MXU op; global keys are appended as extra
+  columns in the same softmax.
+- the Pallas fused kernel lives in ``pallas_attention.py``.
+
+All functions take q/k/v of shape ``(B, L, H, D)`` and mask ``(B, L)`` int32,
+and return ``(B, L, H, D)``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _split_masks(mask: jnp.ndarray):
+    is_pad = mask == 0
+    is_local = mask == 1
+    is_global = mask == 2
+    return is_pad, is_local, is_global
+
+
+def global_prefix_indices(mask: jnp.ndarray, max_globals: int):
+    """Indices of the first ``max_globals`` global positions per row, plus a
+    validity flag. Vectorized over the batch; earliest positions win."""
+    B, L = mask.shape
+    is_global = (mask == 2).astype(jnp.float32)
+    # Prefer earlier positions among globals: score = is_global - idx/L
+    pos = jnp.arange(L, dtype=jnp.float32) / (2.0 * L)
+    score = is_global - pos
+    _, idx = jax.lax.top_k(score, max_globals)  # (B, G)
+    valid = jnp.take_along_axis(mask, idx, axis=1) == 2
+    return idx, valid
+
+
+def _global_rows(q_g, k_g, v_g, mask, scale, dtype):
+    """Full-attention output for global query rows: (B, L, H, D) where only
+    rows with mask==2 are meaningful."""
+    is_pad = mask == 0
+    scores = jnp.einsum("blhd,bmhd->bhlm", q_g * scale, k_g, preferred_element_type=jnp.float32)
+    scores = jnp.where(is_pad[:, None, None, :], NEG_INF, scores)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(dtype), v_g)
+    return out
+
+
+def dense_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_g: jnp.ndarray,
+    k_g: jnp.ndarray,
+    v_g: jnp.ndarray,
+    mask: jnp.ndarray,
+    window: int,
+) -> jnp.ndarray:
+    """O(L^2) oracle implementation."""
+    B, L, H, D = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.array(D, jnp.float32)).astype(q.dtype)
+    is_pad, is_local, is_global = _split_masks(mask)
+    half = window // 2
+
+    i = jnp.arange(L)[:, None]
+    j = jnp.arange(L)[None, :]
+    in_window = jnp.abs(i - j) <= half  # (L, L)
+
+    # local rows: keys = globals  U  (window & local)
+    allowed = is_global[:, None, :] | (in_window[None, :, :] & is_local[:, None, :])
+    scores = jnp.einsum("blhd,bmhd->bhlm", q * scale, k, preferred_element_type=jnp.float32)
+    scores = jnp.where(allowed[:, None, :, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    # rows with no allowed keys (padding) -> zeros
+    any_key = jnp.any(allowed, axis=-1)  # (B, L)
+    probs = jnp.where(any_key[:, None, :, None], probs, 0.0)
+    out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(q.dtype), v)
+
+    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype)
+    out = jnp.where(is_global[:, :, None, None], g_out, out)
+    out = jnp.where(is_pad[:, :, None, None], 0.0, out)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("window", "block", "max_globals"))
+def chunked_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_g: jnp.ndarray,
+    k_g: jnp.ndarray,
+    v_g: jnp.ndarray,
+    mask: jnp.ndarray,
+    window: int,
+    block: int = 128,
+    max_globals: int = 1,
+) -> jnp.ndarray:
+    """Banded attention via sliding chunks, O(L * (block + window)).
+
+    ``L`` must be a multiple of ``block``; ``window`` must be even and
+    ``window // 2 <= block`` is not required (bands widen as needed).
+    """
+    B, L, H, D = q.shape
+    if L % block:
+        raise ValueError(f"L={L} must be a multiple of block={block}")
+    half = window // 2
+    nb = L // block
+    band = block + 2 * half  # keys visible to one query block
+    scale = 1.0 / jnp.sqrt(jnp.array(D, jnp.float32)).astype(q.dtype)
+    is_pad, is_local, is_global = _split_masks(mask)
+
+    # --- band gather: K/V and key metadata per query block -------------
+    # key positions for block c: [c*block - half, c*block + block + half)
+    kidx = (jnp.arange(nb) * block)[:, None] + jnp.arange(band)[None, :] - half  # (nb, band)
+    kvalid_pos = (kidx >= 0) & (kidx < L)
+    kidx_c = jnp.clip(kidx, 0, L - 1)
+
+    def gather_band(x):  # (B, L, ...) -> (B, nb, band, ...)
+        return jnp.take(x, kidx_c, axis=1)
+
+    k_b = gather_band(k)  # (B, nb, band, H, D)
+    v_b = gather_band(v)
+    key_local = gather_band(is_local) & kvalid_pos[None]  # (B, nb, band)
+
+    # relative-position mask inside the band: query t (abs pos c*block + t)
+    # sees band column u (abs pos c*block + u - half) iff |t - (u - half)| <= half
+    t = jnp.arange(block)[:, None]
+    u = jnp.arange(band)[None, :]
+    in_window = jnp.abs(t - (u - half)) <= half  # (block, band)
+
+    band_allowed = key_local[:, :, None, :] & in_window[None, None]  # (B, nb, block, band)
+
+    qb = q.reshape(B, nb, block, H, D)
+    band_scores = jnp.einsum(
+        "bnthd,bnuhd->bhntu", qb * scale, k_b, preferred_element_type=jnp.float32
+    )  # (B, H, nb, block, band)
+    band_scores = jnp.where(band_allowed[:, None], band_scores, NEG_INF)
+
+    # --- global key columns -------------------------------------------
+    gidx, gvalid = global_prefix_indices(mask, max_globals)  # (B, G)
+    kg_sel = jnp.take_along_axis(k, gidx[:, :, None, None], axis=1)  # (B, G, H, D)
+    vg_sel = jnp.take_along_axis(v, gidx[:, :, None, None], axis=1)
+    g_scores = jnp.einsum(
+        "bnthd,bghd->bhntg", qb * scale, kg_sel, preferred_element_type=jnp.float32
+    )  # (B, H, nb, block, G)
+    g_scores = jnp.where(gvalid[:, None, None, None, :], g_scores, NEG_INF)
+
+    # --- joint softmax over [band | globals] ---------------------------
+    scores = jnp.concatenate([band_scores, g_scores], axis=-1).astype(jnp.float32)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - jax.lax.stop_gradient(m))
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    probs = e / jnp.maximum(denom, 1e-30)
+    p_band, p_glob = probs[..., :band], probs[..., band:]
+
+    out = jnp.einsum("bhntu,bnuhd->bnthd", p_band.astype(q.dtype), v_b)
+    out = out + jnp.einsum("bhntg,bghd->bnthd", p_glob.astype(q.dtype), vg_sel)
+    out = out.reshape(B, L, H, D)
+
+    # --- global query rows + padding ----------------------------------
+    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype)
+    out = jnp.where(is_global[:, :, None, None], g_out, out)
+    out = jnp.where(is_pad[:, :, None, None], 0.0, out)
+    return out

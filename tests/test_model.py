@@ -1,0 +1,121 @@
+"""Model forward-pass tests: shapes, pooling, mask semantics, head outputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recformer_tpu.config import RecformerConfig
+from recformer_tpu.data.tokenization import RecformerTokenizer
+from recformer_tpu.data.vocab import SimpleVocab
+from recformer_tpu.models.heads import (
+    RecformerForFraudDetection,
+    RecformerForPretraining,
+    RecformerForSeqRec,
+    similarity_scores,
+)
+from recformer_tpu.models.recformer import RecformerModel
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return RecformerConfig.tiny(attention_impl="chunked", hidden_dropout_prob=0.0,
+                                attention_probs_dropout_prob=0.0)
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    tok = RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
+    seqs = [
+        [{"brand": f"brand{i}", "color": "blue green"} for i in range(6)],
+        [{"brand": "solo", "size": "tiny"}],
+    ]
+    arrs = tok.batch_encode(seqs, pad_to_max=True)
+    return {k: jnp.asarray(v) for k, v in arrs.items() if k != "word_begin"}
+
+
+def test_backbone_shapes_and_pooling(cfg, batch):
+    model = RecformerModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    hidden, pooled = model.apply(params, **batch)
+    B, L = batch["input_ids"].shape
+    assert hidden.shape == (B, L, cfg.hidden_size)
+    assert pooled.shape == (B, cfg.hidden_size)
+    np.testing.assert_allclose(np.asarray(pooled), np.asarray(hidden[:, 0]), rtol=1e-6)
+
+
+def test_padding_invariance(cfg, batch):
+    """Changing token ids at padded positions must not change pooled output."""
+    model = RecformerModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    _, pooled1 = model.apply(params, **batch)
+    pad = batch["attention_mask"] == 0
+    corrupted = dict(batch)
+    # keep ids within vocab but different content at padded slots
+    corrupted["input_ids"] = jnp.where(pad, 7, batch["input_ids"])
+    _, pooled2 = model.apply(params, **corrupted)
+    np.testing.assert_allclose(np.asarray(pooled1), np.asarray(pooled2), rtol=2e-4, atol=2e-4)
+
+
+def test_dense_and_chunked_backbones_agree(cfg, batch):
+    m_dense = RecformerModel(cfg.replace(attention_impl="dense"))
+    m_chunk = RecformerModel(cfg.replace(attention_impl="chunked"))
+    params = m_dense.init(jax.random.PRNGKey(0), **batch)
+    h1, p1 = m_dense.apply(params, **batch)
+    h2, p2 = m_chunk.apply(params, **batch)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=5e-3, atol=5e-3)
+
+
+def test_avg_pooler(cfg, batch):
+    model = RecformerModel(cfg.replace(pooler_type="avg"))
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    hidden, pooled = model.apply(params, **batch)
+    # reference quirk: weights are the merged mask (CLS counts twice)
+    w = np.asarray(batch["attention_mask"] * (batch["global_attention_mask"] + 1))
+    h = np.asarray(hidden)
+    expect = (h * w[:, :, None]).sum(1) / w.sum(-1, keepdims=True)
+    # pooled is computed in bf16; compare with bf16-level tolerance
+    np.testing.assert_allclose(np.asarray(pooled), expect, rtol=2e-2, atol=2e-2)
+
+
+def test_seqrec_head_and_scoring(cfg, batch):
+    model = RecformerForSeqRec(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    pooled = model.apply(params, batch)
+    N, H = 13, cfg.hidden_size
+    table = jax.random.normal(jax.random.PRNGKey(1), (N, H))
+    scores = similarity_scores(pooled, table, cfg.temp)
+    assert scores.shape == (2, N)
+    # cosine/temp bounds
+    assert np.all(np.abs(np.asarray(scores)) <= 1.0 / cfg.temp + 1e-4)
+    # candidate-subset scoring consistent with full-catalog scoring
+    cands = jnp.asarray([[0, 5, 7], [1, 2, 3]])
+    sub = similarity_scores(pooled, table[cands], cfg.temp)
+    full = np.asarray(scores)
+    np.testing.assert_allclose(
+        np.asarray(sub), np.take_along_axis(full, np.asarray(cands), 1), rtol=1e-5
+    )
+
+
+def test_fraud_head(cfg, batch):
+    model = RecformerForFraudDetection(cfg)
+    params = model.init(jax.random.PRNGKey(0), batch)
+    logits = model.apply(params, batch)
+    assert logits.shape == (2,)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_pretraining_forward(cfg, batch):
+    model = RecformerForPretraining(cfg)
+    B, L = batch["input_ids"].shape
+    P = 8
+    batch_a = dict(batch)
+    batch_a["mlm_input_ids"] = batch["input_ids"]
+    batch_a["mlm_positions"] = jnp.tile(jnp.arange(P)[None], (B, 1))
+    batch_b = dict(batch)
+    params = model.init(jax.random.PRNGKey(0), batch_a, batch_b)
+    out = model.apply(params, batch_a, batch_b)
+    assert out.z1.shape == (B, cfg.hidden_size)
+    assert out.z2.shape == (B, cfg.hidden_size)
+    assert out.mlm_logits_a.shape == (B, P, cfg.vocab_size)
+    assert out.mlm_logits_b is None

@@ -1,0 +1,116 @@
+"""Golden tests for item/sequence encoding semantics.
+
+These lock in the reference tokenizer contract
+(``/root/reference/recformer/tokenization.py:38-159``): attribute flattening
+with key/value token types, newest-first item reversal, truncation rules, and
+padding conventions.
+"""
+
+import numpy as np
+import pytest
+
+from recformer_tpu.config import RecformerConfig
+from recformer_tpu.data.tokenization import RecformerTokenizer
+from recformer_tpu.data.vocab import SimpleVocab
+
+
+@pytest.fixture
+def tok():
+    cfg = RecformerConfig.tiny()
+    return RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
+
+
+def test_encode_item_types_and_truncation(tok):
+    # words of <= 4 chars stay single tokens under SimpleVocab(chunk=4)
+    item = {"make": "acme", "hue": "deep blue", "size": "big", "more": "drop"}
+    ids, types, begins = tok.encode_item(item)
+    # max_attr_num=3 drops the 4th attribute
+    n_expected = (1 + 1) + (1 + 2) + (1 + 1)
+    assert len(ids) == len(types) == len(begins) == n_expected
+    assert types == [1, 2, 1, 2, 2, 1, 2]
+    assert all(b == 1 for b in begins)  # all short words begin words
+
+
+def test_subword_begin_flags(tok):
+    # an 8-char word splits into two tokens; only the first begins the word
+    ids, begins = tok.backend.tokenize_text("abcdefgh")
+    assert len(ids) == 2
+    assert begins == [True, False]
+
+
+def test_attr_length_truncation():
+    cfg = RecformerConfig.tiny(max_attr_length=3)
+    tok = RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
+    item = {"description": "one two three four five"}
+    ids, types, begins = tok.encode_item(item)
+    assert len(ids) == 3  # key token + 2 value tokens
+    assert types == [1, 2, 2]
+
+
+def test_encode_reverses_and_truncates_items(tok):
+    cfg = tok.config
+    # 15 items but max_item_embeddings=11 -> keep 10 newest (reversed)
+    items = [{"brand": f"b{i}"} for i in range(15)]
+    seq = tok.encode(items)
+    per_item = 2  # key + value token
+    assert seq.input_ids[0] == tok.backend.bos_token_id
+    assert seq.item_position_ids[0] == 0
+    assert seq.token_type_ids[0] == 0
+    # 10 items kept
+    assert len(seq.input_ids) == 1 + 10 * per_item
+    # first encoded item is the LAST input item (newest first)
+    newest_ids, _, _ = tok.encode_item({"brand": "b14"})
+    assert seq.input_ids[1 : 1 + per_item] == newest_ids
+    # item position ids run 1..10, one per item
+    assert seq.item_position_ids[1:3] == [1, 1]
+    assert seq.item_position_ids[-2:] == [10, 10]
+    # masks
+    assert seq.attention_mask == [1] * len(seq.input_ids)
+    assert seq.global_attention_mask[0] == 1
+    assert sum(seq.global_attention_mask) == 1
+
+
+def test_token_truncation_to_max_token_num():
+    cfg = RecformerConfig.tiny(max_token_num=16, max_item_embeddings=11)
+    tok = RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
+    items = [{"brand": "some brand name here"} for _ in range(10)]
+    seq = tok.encode(items)
+    assert len(seq.input_ids) == 16
+    assert len(seq.item_position_ids) == 16
+    assert len(seq.token_type_ids) == 16
+
+
+def test_padding_conventions(tok):
+    cfg = tok.config
+    batch = [tok.encode([{"brand": "x"}]), tok.encode([{"brand": "y"}, {"color": "z"}])]
+    out = tok.padding(batch, pad_to_max=True)
+    L = cfg.max_token_num
+    assert out["input_ids"].shape == (2, L)
+    n0 = len(batch[0].input_ids)
+    assert out["input_ids"][0, n0] == tok.backend.pad_token_id
+    assert out["item_position_ids"][0, n0] == cfg.max_item_embeddings - 1
+    assert out["token_type_ids"][0, n0] == 3
+    assert out["attention_mask"][0, n0] == 0
+    assert out["global_attention_mask"][0, n0] == 0
+    # content preserved
+    np.testing.assert_array_equal(out["input_ids"][0, :n0], batch[0].input_ids)
+
+
+def test_pre_encoded_items_path(tok):
+    """encode(encode_item=False) accepts pre-tokenized (ids, types[, begins])."""
+    raw = [{"brand": "alpha"}, {"color": "beta"}]
+    pre = [tok.encode_item(it) for it in raw]
+    a = tok.encode(raw, encode_item=True)
+    b = tok.encode(pre, encode_item=False)
+    assert a.input_ids == b.input_ids
+    assert a.token_type_ids == b.token_type_ids
+    assert a.item_position_ids == b.item_position_ids
+    assert a.word_begin == b.word_begin
+
+
+def test_deterministic_across_instances():
+    cfg = RecformerConfig.tiny()
+    t1 = RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
+    t2 = RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
+    item = {"brand": "stable hashing", "color": "royal purple"}
+    assert t1.encode_item(item) == t2.encode_item(item)
