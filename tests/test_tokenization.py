@@ -41,7 +41,7 @@ def test_subword_begin_flags(tok):
 def test_attr_length_truncation():
     cfg = RecformerConfig.tiny(max_attr_length=3)
     tok = RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
-    item = {"description": "one two three four five"}
+    item = {"desc": "one two three four five"}
     ids, types, begins = tok.encode_item(item)
     assert len(ids) == 3  # key token + 2 value tokens
     assert types == [1, 2, 2]
@@ -50,7 +50,7 @@ def test_attr_length_truncation():
 def test_encode_reverses_and_truncates_items(tok):
     cfg = tok.config
     # 15 items but max_item_embeddings=11 -> keep 10 newest (reversed)
-    items = [{"brand": f"b{i}"} for i in range(15)]
+    items = [{"make": f"b{i}"} for i in range(15)]
     seq = tok.encode(items)
     per_item = 2  # key + value token
     assert seq.input_ids[0] == tok.backend.bos_token_id
@@ -59,7 +59,7 @@ def test_encode_reverses_and_truncates_items(tok):
     # 10 items kept
     assert len(seq.input_ids) == 1 + 10 * per_item
     # first encoded item is the LAST input item (newest first)
-    newest_ids, _, _ = tok.encode_item({"brand": "b14"})
+    newest_ids, _, _ = tok.encode_item({"make": "b14"})
     assert seq.input_ids[1 : 1 + per_item] == newest_ids
     # item position ids run 1..10, one per item
     assert seq.item_position_ids[1:3] == [1, 1]
