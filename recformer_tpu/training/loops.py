@@ -1,0 +1,230 @@
+"""Host-side orchestration: item encoding, evaluation loops, the two-stage
+finetune schedule, and fraud threshold-sweep evaluation.
+
+Reference drivers: ``/root/reference/finetune.py:38-96,298-353`` and
+``finetune_classification.py:140-258``.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RecformerConfig
+from ..data.datasets import EvalDataset, FraudDataset, SequenceDataset
+from .metrics import AverageMeterSet
+from .steps import (
+    make_encode_items_step,
+    make_eval_step,
+    make_finetune_step,
+    make_fraud_eval_step,
+)
+
+
+def encode_all_items(params, model, table, config: RecformerConfig,
+                     batch_size: int = 256, backbone_method=None) -> jnp.ndarray:
+    """Batch-encode every catalog item as a single-item sequence and return
+    the pooled ``(N, H)`` matrix (reference ``finetune.py:38-63``).
+
+    Items are processed in fixed-size chunks (static shapes); the tail chunk
+    is padded with the null item and trimmed."""
+    step = make_encode_items_step(config, model, backbone_method)
+    n = int(table["lengths"].shape[0]) - 1
+    out = []
+    pad_to = ((n + batch_size - 1) // batch_size) * batch_size
+    ids = np.arange(pad_to, dtype=np.int32)
+    ids[n:] = 0  # pad chunk with item 0; trimmed below
+    for c in range(0, pad_to, batch_size):
+        chunk = jnp.asarray(ids[c : c + batch_size])
+        out.append(step(params, table, chunk))
+    return jnp.concatenate(out, axis=0)[:n]
+
+
+def evaluate_seqrec(params, model, table, dataset: EvalDataset, item_embeddings,
+                    config: RecformerConfig, batch_size: int = 32,
+                    ks: Sequence[int] = (10, 50)) -> Dict[str, float]:
+    """Full-catalog ranked evaluation; exact (sum/count) aggregation."""
+    step = make_eval_step(config, model, ks=ks)
+    sums: Dict[str, float] = {}
+    count = 0.0
+    for batch in dataset.batches(batch_size):
+        out = step(params, table, jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens),
+                   jnp.asarray(batch.labels), jnp.asarray(batch.valid), item_embeddings)
+        out = {k: float(v) for k, v in out.items()}
+        count += out.pop("count")
+        for k, v in out.items():
+            sums[k] = sums.get(k, 0.0) + v
+    return {k: v / max(count, 1.0) for k, v in sums.items()}
+
+
+def train_seqrec_epoch(state, step_fn, table, dataset: SequenceDataset, item_embeddings,
+                       rng, batch_size: int, epoch: int) -> Tuple[object, float]:
+    meters = AverageMeterSet()
+    for batch in dataset.batches(batch_size, shuffle=True, seed=epoch, drop_last=True):
+        state, metrics = step_fn(
+            state, rng, table, jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens),
+            item_embeddings,
+        )
+        meters.update("loss", float(metrics["loss"]))
+    return state, meters.averages().get("loss", 0.0)
+
+
+def finetune_two_stage(
+    state,
+    model,
+    table,
+    config: RecformerConfig,
+    train_dataset: SequenceDataset,
+    val_dataset: EvalDataset,
+    test_dataset: EvalDataset,
+    *,
+    num_epochs: int = 16,
+    batch_size: int = 16,
+    eval_batch_size: int = 32,
+    encode_batch_size: int = 256,
+    verbose: int = 3,
+    rng: Optional[jax.Array] = None,
+    log=print,
+) -> Tuple[object, Dict[str, float]]:
+    """The reference two-stage schedule (``finetune.py:298-353``):
+
+    Stage 1: every epoch re-encode the catalog from the current encoder, then
+    train; eval every ``verbose`` epochs on NDCG@10 with patience 5.
+    Stage 2: reload the stage-1 best, keep item embeddings frozen (no
+    re-encode), patience 3. Returns (best_state, test_metrics)."""
+    rng = rng if rng is not None else jax.random.PRNGKey(42)
+    step_fn = make_finetune_step(config, model)
+    backbone = lambda m, batch, deterministic: m(batch, deterministic=deterministic)
+
+    def encode(params):
+        return encode_all_items(params, model, table, config, encode_batch_size)
+
+    best_target = float("-inf")
+    best_params = None
+    item_embeddings = encode(state.params)
+
+    patience = 5
+    for epoch in range(num_epochs):
+        item_embeddings = encode(state.params)
+        state, loss = train_seqrec_epoch(
+            state, step_fn, table, train_dataset, item_embeddings, rng, batch_size, epoch
+        )
+        if (epoch + 1) % verbose == 0:
+            dev = evaluate_seqrec(state.params, model, table, val_dataset,
+                                  item_embeddings, config, eval_batch_size)
+            log(f"[stage1] epoch {epoch} loss {loss:.4f} dev {dev}")
+            if dev["NDCG@10"] > best_target:
+                best_target = dev["NDCG@10"]
+                best_params = jax.tree.map(np.asarray, state.params)
+                patience = 5
+            else:
+                patience -= 1
+                if patience == 0:
+                    break
+
+    if best_params is not None:
+        state = state.replace(params=jax.tree.map(jnp.asarray, best_params))
+    item_embeddings = encode(state.params)
+
+    patience = 3
+    for epoch in range(num_epochs):
+        state, loss = train_seqrec_epoch(
+            state, step_fn, table, train_dataset, item_embeddings, rng, batch_size,
+            num_epochs + epoch,
+        )
+        if (epoch + 1) % verbose == 0:
+            dev = evaluate_seqrec(state.params, model, table, val_dataset,
+                                  item_embeddings, config, eval_batch_size)
+            log(f"[stage2] epoch {epoch} loss {loss:.4f} dev {dev}")
+            if dev["NDCG@10"] > best_target:
+                best_target = dev["NDCG@10"]
+                best_params = jax.tree.map(np.asarray, state.params)
+                patience = 3
+            else:
+                patience -= 1
+                if patience == 0:
+                    break
+
+    if best_params is not None:
+        state = state.replace(params=jax.tree.map(jnp.asarray, best_params))
+    item_embeddings = encode(state.params)
+    test_metrics = evaluate_seqrec(state.params, model, table, test_dataset,
+                                   item_embeddings, config, eval_batch_size)
+    return state, test_metrics
+
+
+# ---------------------------------------------------------------------------
+# Fraud evaluation (threshold sweep)
+# ---------------------------------------------------------------------------
+
+def binary_classification_metrics(probs: np.ndarray, labels: np.ndarray,
+                                  threshold: float) -> Dict[str, float]:
+    preds = (probs >= threshold).astype(np.int64)
+    y = labels.astype(np.int64)
+    tp = int(((preds == 1) & (y == 1)).sum())
+    tn = int(((preds == 0) & (y == 0)).sum())
+    fp = int(((preds == 1) & (y == 0)).sum())
+    fn = int(((preds == 0) & (y == 1)).sum())
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-12)
+    acc = (tp + tn) / max(len(y), 1)
+    tpr = tp / max(tp + fn, 1)
+    tnr = tn / max(tn + fp, 1)
+    return {
+        "accuracy": acc,
+        "balanced_accuracy": 0.5 * (tpr + tnr),
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "threshold": threshold,
+        "confusion": {"tp": tp, "tn": tn, "fp": fp, "fn": fn},
+    }
+
+
+def roc_auc(probs: np.ndarray, labels: np.ndarray) -> float:
+    """Rank-based ROC AUC (Mann-Whitney U), ties averaged."""
+    y = labels.astype(bool)
+    n_pos, n_neg = int(y.sum()), int((~y).sum())
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    order = np.argsort(probs, kind="mergesort")
+    ranks = np.empty_like(order, dtype=np.float64)
+    sorted_p = probs[order]
+    i = 0
+    r = 1
+    while i < len(sorted_p):
+        j = i
+        while j + 1 < len(sorted_p) and sorted_p[j + 1] == sorted_p[i]:
+            j += 1
+        avg = (r + r + (j - i)) / 2.0
+        ranks[order[i : j + 1]] = avg
+        r += j - i + 1
+        i = j + 1
+    return float((ranks[y].sum() - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg))
+
+
+def evaluate_fraud(params, model, table, dataset: FraudDataset, config: RecformerConfig,
+                   batch_size: int = 32,
+                   thresholds: Sequence[float] = tuple(np.arange(0.1, 0.91, 0.1))) -> Dict:
+    """Threshold sweep maximizing F1 (``finetune_classification.py:140-208``)."""
+    step = make_fraud_eval_step(config, model)
+    all_probs, all_labels = [], []
+    for batch in dataset.batches(batch_size):
+        probs = step(params, table, jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens))
+        probs = np.asarray(probs)[batch.valid]
+        all_probs.append(probs)
+        all_labels.append(batch.labels[batch.valid])
+    probs = np.concatenate(all_probs)
+    labels = np.concatenate(all_labels)
+    best = None
+    for t in thresholds:
+        m = binary_classification_metrics(probs, labels, float(t))
+        if best is None or m["f1"] > best["f1"]:
+            best = m
+    best["auc"] = roc_auc(probs, labels)
+    return best

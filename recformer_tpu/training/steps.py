@@ -1,0 +1,220 @@
+"""Jitted train / eval / encode steps for all three tasks.
+
+These replace the reference's Lightning + hand-written torch loops
+(``/root/reference/recformer/litmodels.py``, ``finetune.py:66-137``,
+``finetune_classification.py:140-258``) with pure functions compiled once.
+Data construction (sequence assembly, target sampling, MLM masking) happens
+*inside* the step on device — the host only feeds item-id arrays.
+
+Under a ``jax.sharding.Mesh`` the same step functions run data-parallel: batch
+inputs are sharded along the ``data`` axis and XLA inserts the cross-device
+collectives (notably the all-gather behind the global in-batch contrastive
+similarity, replacing the reference's manual ``torch.distributed.all_gather``
+at ``models.py:475-490``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax.training import train_state
+
+from ..config import RecformerConfig
+from ..data.device_pipeline import (
+    assemble_for_config,
+    make_finetune_batch,
+    make_pretrain_batch,
+)
+from ..models.heads import similarity_scores
+from . import losses
+from .metrics import rank_from_scores
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Pretraining
+# ---------------------------------------------------------------------------
+
+def make_pretrain_step(config: RecformerConfig, model, axis_name: Optional[str] = None):
+    """Returns step(state, rng, table, item_ids, seq_lens) -> (state, metrics).
+
+    One step = device-side pair sampling + MLM, 4 encoder passes (two views +
+    two MLM towers), InfoNCE over the (global) batch + mlm_weight * MLM CE —
+    reference ``models.py:382-520`` + ``collator.py:17-52``.
+    """
+
+    def loss_fn(params, rng, batch_a, batch_b):
+        out = model.apply(params, batch_a, batch_b, deterministic=False,
+                          rngs={"dropout": rng})
+        cl_loss, correct, total = losses.info_nce_loss(
+            out.z1, out.z2, config.temp, axis_name=axis_name,
+            grad_mode=config.contrastive_gradient,
+        )
+        loss = cl_loss
+        metrics = {"cl_loss": cl_loss, "cl_correct": correct, "cl_total": total}
+        if out.mlm_logits_a is not None:
+            mlm_a = losses.mlm_loss(out.mlm_logits_a, batch_a["mlm_labels"])
+            loss = loss + config.mlm_weight * mlm_a
+            metrics["mlm_loss_a"] = mlm_a
+        if out.mlm_logits_b is not None:
+            mlm_b = losses.mlm_loss(out.mlm_logits_b, batch_b["mlm_labels"])
+            loss = loss + config.mlm_weight * mlm_b
+            metrics["mlm_loss_b"] = mlm_b
+        metrics["loss"] = loss
+        metrics["accuracy"] = correct / jnp.maximum(total, 1e-5)
+        return loss, metrics
+
+    @jax.jit
+    def step(state: TrainState, rng, table, item_ids, seq_lens):
+        rng_data, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        batch_a, batch_b = make_pretrain_batch(rng_data, table, item_ids, seq_lens, config)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, rng_drop, batch_a, batch_b
+        )
+        return state.apply_gradients(grads=grads), metrics
+
+    return step
+
+
+def make_pretrain_eval_step(config: RecformerConfig, model):
+    """Validation step: deterministic forward, contrastive accuracy + loss
+    (reference ``litmodels.py:30-40``)."""
+
+    @jax.jit
+    def step(params, rng, table, item_ids, seq_lens):
+        batch_a, batch_b = make_pretrain_batch(rng, table, item_ids, seq_lens, config)
+        out = model.apply(params, batch_a, batch_b, deterministic=True)
+        cl_loss, correct, total = losses.info_nce_loss(out.z1, out.z2, config.temp)
+        loss = cl_loss
+        if out.mlm_logits_a is not None:
+            loss = loss + config.mlm_weight * losses.mlm_loss(out.mlm_logits_a, batch_a["mlm_labels"])
+        if out.mlm_logits_b is not None:
+            loss = loss + config.mlm_weight * losses.mlm_loss(out.mlm_logits_b, batch_b["mlm_labels"])
+        return {"val_loss": loss, "cl_correct": correct, "cl_total": total}
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Sequential recommendation finetune / eval
+# ---------------------------------------------------------------------------
+
+def make_finetune_step(config: RecformerConfig, model):
+    """step(state, rng, table, item_ids, seq_lens, item_embeddings) ->
+    (state, metrics). Sampled softmax when
+    ``finetune_negative_sample_size > 0`` else full softmax
+    (``models.py:587-597``). ``item_embeddings`` is the frozen catalog."""
+
+    def loss_fn(params, rng_drop, rng_neg, batch, labels, item_embeddings):
+        pooled = model.apply(params, batch, deterministic=False, rngs={"dropout": rng_drop})
+        if config.finetune_negative_sample_size > 0:
+            loss = losses.seqrec_sampled_softmax_loss(
+                pooled, item_embeddings, labels, config.temp,
+                config.finetune_negative_sample_size, rng_neg,
+            )
+        else:
+            loss = losses.seqrec_full_softmax_loss(pooled, item_embeddings, labels, config.temp)
+        return loss
+
+    @jax.jit
+    def step(state: TrainState, rng, table, item_ids, seq_lens, item_embeddings):
+        rng = jax.random.fold_in(rng, state.step)
+        rng_target, rng_drop, rng_neg = jax.random.split(rng, 3)
+        batch, labels = make_finetune_batch(rng_target, table, item_ids, seq_lens, config)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, rng_drop, rng_neg, batch, labels, item_embeddings
+        )
+        return state.apply_gradients(grads=grads), {"loss": loss}
+
+    return step
+
+
+def make_eval_step(config: RecformerConfig, model, ks: Sequence[int] = (10, 50)):
+    """Full-catalog ranked eval (``finetune.py:66-96``): encode the history,
+    score against every item, rank the label. Returns per-metric *sums* over
+    valid rows plus the valid count, for exact streaming aggregation."""
+
+    ks = tuple(ks)
+
+    @jax.jit
+    def step(params, table, item_ids, seq_lens, labels, valid, item_embeddings):
+        batch = assemble_for_config(table, item_ids, seq_lens, config)
+        pooled = model.apply(params, batch, deterministic=True)
+        scores = similarity_scores(
+            pooled.astype(jnp.float32), item_embeddings.astype(jnp.float32), config.temp
+        )
+        w = valid.astype(jnp.float32)
+        out = {}
+        rank = rank_from_scores(scores, labels)
+        valid_length = jnp.sum((scores > -1e4).astype(jnp.float32), axis=-1)
+        for k in ks:
+            ind = (rank < k).astype(jnp.float32)
+            out[f"NDCG@{k}"] = jnp.sum(w * ind / jnp.log2(rank + 2.0))
+            out[f"Recall@{k}"] = jnp.sum(w * ind)
+        out["MRR"] = jnp.sum(w / (rank + 1.0))
+        out["AUC"] = jnp.sum(w * (1.0 - rank / jnp.maximum(valid_length, 1.0)))
+        out["count"] = jnp.sum(w)
+        return out
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Item encoding service
+# ---------------------------------------------------------------------------
+
+def make_encode_items_step(config: RecformerConfig, model, backbone_method: Optional[Callable] = None):
+    """Encode a chunk of items as single-item sequences at the short static
+    ``item_seq_len`` (reference ``finetune.py:38-63`` pads to dynamic length).
+    ``model`` must expose the pooled output for a plain batch (RecformerForSeqRec
+    / the pretraining model's ``encode`` method)."""
+
+    @jax.jit
+    def step(params, table, item_id_chunk):
+        # (C,) item ids -> (C, 1) one-item sequences
+        ids = item_id_chunk[:, None]
+        lens = jnp.ones_like(item_id_chunk)
+        batch = assemble_for_config(table, ids, lens, config, out_len=config.item_seq_len)
+        pooled = model.apply(params, batch, deterministic=True, method=backbone_method)
+        return pooled
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Fraud classification
+# ---------------------------------------------------------------------------
+
+def make_fraud_train_step(config: RecformerConfig, model):
+    def loss_fn(params, rng_drop, batch, labels, valid):
+        logits = model.apply(params, batch, deterministic=False, rngs={"dropout": rng_drop})
+        x = logits.astype(jnp.float32)
+        y = labels.astype(jnp.float32)
+        per = config.pos_weight * y * jax.nn.softplus(-x) + (1.0 - y) * jax.nn.softplus(x)
+        w = valid.astype(jnp.float32)
+        return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    @jax.jit
+    def step(state: TrainState, rng, table, item_ids, seq_lens, labels, valid):
+        rng_drop = jax.random.fold_in(rng, state.step)
+        batch = assemble_for_config(table, item_ids, seq_lens, config)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, rng_drop, batch, labels, valid)
+        return state.apply_gradients(grads=grads), {"loss": loss}
+
+    return step
+
+
+def make_fraud_eval_step(config: RecformerConfig, model):
+    @jax.jit
+    def step(params, table, item_ids, seq_lens):
+        batch = assemble_for_config(table, item_ids, seq_lens, config)
+        logits = model.apply(params, batch, deterministic=True)
+        return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+    return step

@@ -1,0 +1,211 @@
+"""End-to-end training smoke tests on synthetic data (tiny config, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recformer_tpu.config import RecformerConfig
+from recformer_tpu.data.datasets import EvalDataset, FraudDataset, SequenceDataset
+from recformer_tpu.data.item_table import ItemTable
+from recformer_tpu.data.tokenization import RecformerTokenizer
+from recformer_tpu.data.vocab import SimpleVocab
+from recformer_tpu.models.heads import (
+    RecformerForFraudDetection,
+    RecformerForPretraining,
+    RecformerForSeqRec,
+)
+from recformer_tpu.training.loops import (
+    encode_all_items,
+    evaluate_fraud,
+    evaluate_seqrec,
+    finetune_two_stage,
+    roc_auc,
+)
+from recformer_tpu.training.optimizer import create_optimizer
+from recformer_tpu.training.steps import (
+    TrainState,
+    make_fraud_train_step,
+    make_pretrain_step,
+)
+
+
+def tiny_cfg(**kw):
+    defaults = dict(
+        max_token_num=64,
+        max_item_embeddings=6,
+        item_seq_len=32,
+        attention_window=(16, 16),
+        finetune_negative_sample_size=5,
+    )
+    defaults.update(kw)
+    return RecformerConfig.tiny(**defaults)
+
+
+@pytest.fixture(scope="module")
+def world():
+    cfg = tiny_cfg()
+    tok = RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
+    rng = np.random.default_rng(0)
+    n_items = 20
+    words = ["red", "blue", "big", "tiny", "wood", "iron", "soft", "loud"]
+    tokenized = {
+        i: tok.encode_item({
+            "make": words[i % len(words)],
+            "hue": words[(i * 3 + 1) % len(words)],
+        })
+        for i in range(n_items)
+    }
+    table_np = ItemTable.build(tokenized, cfg, tok.backend.pad_token_id)
+    table = {k: jnp.asarray(v) for k, v in table_np.as_arrays().items()}
+
+    n_users = 24
+    user2train = {u: list(rng.integers(0, n_items, size=rng.integers(3, 9))) for u in range(n_users)}
+    user2val = {u: [int(rng.integers(0, n_items))] for u in range(n_users)}
+    user2test = {u: [int(rng.integers(0, n_items))] for u in range(n_users)}
+    return cfg, table, user2train, user2val, user2test, n_items
+
+
+def test_pretrain_step_runs_and_loss_decreases(world):
+    cfg, table, user2train, _, _, n_items = world
+    model = RecformerForPretraining(cfg)
+    ds = SequenceDataset(user2train, max_items=16)
+    batch = next(ds.batches(8, drop_last=True))
+    item_ids = jnp.asarray(batch.item_ids)
+    seq_lens = jnp.asarray(batch.seq_lens)
+
+    # init via a real batch
+    from recformer_tpu.data.device_pipeline import make_pretrain_batch
+
+    ba, bb = make_pretrain_batch(jax.random.PRNGKey(0), table, item_ids, seq_lens, cfg)
+    params = model.init(jax.random.PRNGKey(0), ba, bb)
+    tx = create_optimizer(learning_rate=1e-3, warmup_steps=2, total_steps=100)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_pretrain_step(cfg, model)
+
+    losses = []
+    rng = jax.random.PRNGKey(1)
+    for _ in range(10):
+        state, metrics = step(state, rng, table, item_ids, seq_lens)
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+        assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+    # pairs/masking are resampled per step, so compare a head/tail trend
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+def test_encode_all_items_shapes(world):
+    cfg, table, *_ , n_items = world
+    model = RecformerForSeqRec(cfg)
+    dummy = {
+        "input_ids": jnp.ones((1, cfg.item_seq_len), jnp.int32),
+        "attention_mask": jnp.ones((1, cfg.item_seq_len), jnp.int32),
+        "global_attention_mask": jnp.zeros((1, cfg.item_seq_len), jnp.int32).at[:, 0].set(1),
+        "token_type_ids": jnp.zeros((1, cfg.item_seq_len), jnp.int32),
+        "item_position_ids": jnp.zeros((1, cfg.item_seq_len), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    emb = encode_all_items(params, model, table, cfg, batch_size=8)
+    assert emb.shape == (n_items, cfg.hidden_size)
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_two_stage_finetune_end_to_end(world):
+    cfg, table, user2train, user2val, user2test, n_items = world
+    model = RecformerForSeqRec(cfg)
+    dummy = {
+        k: jnp.zeros((1, cfg.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    tx = create_optimizer(learning_rate=1e-3, warmup_steps=2, total_steps=200)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    train_ds = SequenceDataset(user2train, max_items=16)
+    val_ds = EvalDataset(user2train, user2val, user2test, "val", max_items=16)
+    test_ds = EvalDataset(user2train, user2val, user2test, "test", max_items=16)
+
+    state, test_metrics = finetune_two_stage(
+        state, model, table, cfg, train_ds, val_ds, test_ds,
+        num_epochs=2, batch_size=8, eval_batch_size=8, encode_batch_size=8,
+        verbose=1, log=lambda *a: None,
+    )
+    for key in ("NDCG@10", "Recall@10", "NDCG@50", "Recall@50", "MRR", "AUC"):
+        assert key in test_metrics
+        assert 0.0 <= test_metrics[key] <= 1.0 + 1e-6
+
+
+def test_eval_matches_bruteforce_ranker(world):
+    """Device eval metrics == numpy brute-force reference (utils.py:82-108).
+
+    Runs in fp32: in bf16, jit-fused vs eager pooled outputs differ in the
+    last bits, which flips near-tied ranks and would make an exact
+    comparison meaningless."""
+    _cfg, table, user2train, user2val, user2test, n_items = world
+    cfg = _cfg.replace(dtype="float32")
+    model = RecformerForSeqRec(cfg)
+    dummy = {
+        k: jnp.zeros((1, cfg.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    item_emb = encode_all_items(params, model, table, cfg, batch_size=8)
+    val_ds = EvalDataset(user2train, user2val, user2test, "val", max_items=16)
+    got = evaluate_seqrec(params, model, table, val_ds, item_emb, cfg, batch_size=8)
+
+    # brute force on host
+    from recformer_tpu.data.device_pipeline import assemble_for_config
+    from recformer_tpu.models.heads import similarity_scores
+
+    ndcg10 = []
+    for batch in val_ds.batches(8):
+        b = assemble_for_config(table, jnp.asarray(batch.item_ids),
+                                jnp.asarray(batch.seq_lens), cfg)
+        pooled = model.apply(params, b, deterministic=True)
+        scores = np.asarray(similarity_scores(pooled.astype(jnp.float32),
+                                              item_emb.astype(jnp.float32), cfg.temp))
+        for i in range(scores.shape[0]):
+            if not batch.valid[i]:
+                continue
+            rank = int((scores[i] > scores[i, batch.labels[i]]).sum())
+            ndcg10.append((1.0 / np.log2(rank + 2)) if rank < 10 else 0.0)
+    np.testing.assert_allclose(got["NDCG@10"], np.mean(ndcg10), rtol=1e-5)
+
+
+def test_fraud_train_and_eval(world):
+    cfg, table, user2train, _, _, n_items = world
+    model = RecformerForFraudDetection(cfg)
+    dummy = {
+        k: jnp.zeros((1, cfg.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    tx = create_optimizer(learning_rate=1e-3, warmup_steps=2, total_steps=100)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_fraud_train_step(cfg, model)
+
+    user_sequences = {u: (seq, [u % 2]) for u, seq in user2train.items()}
+    ds = FraudDataset(user_sequences, max_items=16)
+    rng = jax.random.PRNGKey(0)
+    for batch in ds.batches(8):
+        state, metrics = step(state, rng, table, jnp.asarray(batch.item_ids),
+                              jnp.asarray(batch.seq_lens), jnp.asarray(batch.labels),
+                              jnp.asarray(batch.valid))
+        assert np.isfinite(float(metrics["loss"]))
+
+    result = evaluate_fraud(state.params, model, table, ds, cfg, batch_size=8)
+    for key in ("accuracy", "balanced_accuracy", "precision", "recall", "f1", "auc", "threshold"):
+        assert key in result
+
+
+def test_roc_auc_known_values():
+    probs = np.array([0.9, 0.8, 0.7, 0.6, 0.5, 0.4])
+    labels = np.array([1, 1, 1, 0, 0, 0])
+    assert roc_auc(probs, labels) == 1.0
+    labels2 = np.array([0, 0, 0, 1, 1, 1])
+    assert roc_auc(probs, labels2) == 0.0
+    # ties -> 0.5
+    assert roc_auc(np.full(6, 0.5), labels) == 0.5
