@@ -1,0 +1,338 @@
+"""Fused Pallas TPU kernel for Longformer-style windowed + global attention.
+
+Semantics identical to ``attention.py`` (see that module's docstring and the
+behavioral spec it re-derives from the reference's HF Longformer dependency,
+``/root/reference/recformer/models.py:12-18``): local queries attend to a
+±window/2 band of *local* keys plus all global keys in one softmax; global
+query rows run full attention with dedicated projections; padding is inert.
+
+Kernel design (one program per (batch*head, query-block)):
+
+- Q is blocked ``(block_q, D)``; K/V arrive window-padded ``(L + window, D)``
+  and live whole in VMEM per (b, h) — at Longformer scale (L <= 4096, D = 64)
+  that is ~1 MB, far under the 16 MB budget, and the block is only re-DMA'd
+  when the (b, h) grid coordinate changes (grid iterates query blocks
+  innermost).
+- The banded scores ``(block_q, block_q + window [+G])`` are materialized in
+  registers/VMEM, softmaxed in fp32 in one shot (no online softmax needed at
+  these band widths), and contracted with V on the MXU.
+- Global key columns (the gathered global positions' K/V rows) join the same
+  softmax as extra columns.
+- Backward is a second fused kernel (custom VJP): it recomputes the band
+  softmax and accumulates dK/dV/dKg/dVg across query blocks by revisiting the
+  same output block over the innermost grid dimension (TPU grid steps execute
+  sequentially, so read-modify-write accumulation is safe).
+
+The host-side wrapper handles padding-row zeroing, the global-row overwrite,
+and the gather of global K/V — all differentiable jnp, so only the banded core
+needs the custom VJP.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import NEG_INF, _global_rows, global_prefix_indices
+
+DEFAULT_BLOCK_Q = 128
+
+
+def _band_iota_mask(block_q: int, band: int, half: int):
+    """(block_q, band) in-window mask: query row t sees band column u iff
+    |t - (u - half)| <= half."""
+    t = jax.lax.broadcasted_iota(jnp.int32, (block_q, band), 0)
+    u = jax.lax.broadcasted_iota(jnp.int32, (block_q, band), 1)
+    return jnp.abs(t - (u - half)) <= half
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
+                out_ref, *, block_q: int, window: int, num_globals: int, scale: float):
+    half = window // 2
+    band = block_q + window
+    i = pl.program_id(1)
+
+    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, D)
+    k_band = kpad_ref[0, pl.ds(i * block_q, band), :].astype(jnp.float32)  # (band, D)
+    v_band = vpad_ref[0, pl.ds(i * block_q, band), :].astype(jnp.float32)
+    key_ok = keyloc_ref[0, 0, pl.ds(i * block_q, band)] != 0  # (band,)
+
+    scores = jax.lax.dot_general(
+        q, k_band, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, band)
+    allowed = _band_iota_mask(block_q, band, half) & key_ok[None, :]
+    scores = jnp.where(allowed, scores, NEG_INF)
+
+    gk = gk_ref[0].astype(jnp.float32)  # (G, D)
+    gv = gv_ref[0].astype(jnp.float32)
+    g_scores = jax.lax.dot_general(
+        q, gk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (block_q, G)
+    g_ok = gvalid_ref[0, 0, :] != 0
+    g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
+
+    all_scores = jnp.concatenate([scores, g_scores], axis=1)
+    m = jnp.max(all_scores, axis=1, keepdims=True)
+    e = jnp.exp(all_scores - m)
+    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+    p = e / denom
+
+    out = jax.lax.dot_general(
+        p[:, :band], v_band, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out += jax.lax.dot_general(
+        p[:, band:], gv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
+                dout_ref,
+                dq_ref, dkpad_ref, dvpad_ref, dgk_ref, dgv_ref,
+                *, block_q: int, window: int, num_globals: int, scale: float):
+    half = window // 2
+    band = block_q + window
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dkpad_ref[...] = jnp.zeros_like(dkpad_ref)
+        dvpad_ref[...] = jnp.zeros_like(dvpad_ref)
+        dgk_ref[...] = jnp.zeros_like(dgk_ref)
+        dgv_ref[...] = jnp.zeros_like(dgv_ref)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    k_band = kpad_ref[0, pl.ds(i * block_q, band), :].astype(jnp.float32)
+    v_band = vpad_ref[0, pl.ds(i * block_q, band), :].astype(jnp.float32)
+    key_ok = keyloc_ref[0, 0, pl.ds(i * block_q, band)] != 0
+    gk = gk_ref[0].astype(jnp.float32)
+    gv = gv_ref[0].astype(jnp.float32)
+    g_ok = gvalid_ref[0, 0, :] != 0
+    dout = dout_ref[0].astype(jnp.float32)  # (block_q, D)
+
+    # recompute probabilities
+    scores = jax.lax.dot_general(q, k_band, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+    allowed = _band_iota_mask(block_q, band, half) & key_ok[None, :]
+    scores = jnp.where(allowed, scores, NEG_INF)
+    g_scores = jax.lax.dot_general(q, gk, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
+    all_scores = jnp.concatenate([scores, g_scores], axis=1)
+    m = jnp.max(all_scores, axis=1, keepdims=True)
+    e = jnp.exp(all_scores - m)
+    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+    p = e / denom  # (block_q, band + G)
+
+    # softmax backward
+    dp_band = jax.lax.dot_general(dout, v_band, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # (bq, band)
+    dp_g = jax.lax.dot_general(dout, gv, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (bq, G)
+    dp = jnp.concatenate([dp_band, dp_g], axis=1)
+    row_dot = jnp.sum(p * dp, axis=1, keepdims=True)
+    ds = p * (dp - row_dot)  # (bq, band + G)
+    ds_band = ds[:, :band]
+    ds_g = ds[:, band:]
+
+    # dq (scaled): note q was pre-scaled, so dq gets the scale factor
+    dq = jax.lax.dot_general(ds_band, k_band, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq += jax.lax.dot_general(ds_g, gk, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+    # dK/dV band accumulation (revisit same output block across i)
+    dk_band = jax.lax.dot_general(ds_band, q, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # (band, D)
+    dv_band = jax.lax.dot_general(p[:, :band], dout, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    cur_k = dkpad_ref[0, pl.ds(i * block_q, band), :]
+    dkpad_ref[0, pl.ds(i * block_q, band), :] = cur_k + dk_band.astype(dkpad_ref.dtype)
+    cur_v = dvpad_ref[0, pl.ds(i * block_q, band), :]
+    dvpad_ref[0, pl.ds(i * block_q, band), :] = cur_v + dv_band.astype(dvpad_ref.dtype)
+
+    dgk = jax.lax.dot_general(ds_g, q, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (G, D)
+    dgv = jax.lax.dot_general(p[:, band:], dout, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dgk_ref[0] += dgk.astype(dgk_ref.dtype)
+    dgv_ref[0] += dgv.astype(dgv_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers over (BH, L, D)-shaped operands
+# ---------------------------------------------------------------------------
+
+def _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
+                        *, block_q, window, num_globals, interpret):
+    BH, L, D = q3.shape
+    nb = L // block_q
+    W = window
+    scale = 1.0 / (D ** 0.5)
+    kernel = functools.partial(
+        _fwd_kernel, block_q=block_q, window=window, num_globals=num_globals, scale=scale
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, nb),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, L + W), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, num_globals), lambda b, i: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, L, D), jnp.float32),
+        interpret=interpret,
+    )(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3)
+
+
+def _band_core_bwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3,
+                        *, block_q, window, num_globals, interpret):
+    BH, L, D = q3.shape
+    nb = L // block_q
+    W = window
+    scale = 1.0 / (D ** 0.5)
+    kernel = functools.partial(
+        _bwd_kernel, block_q=block_q, window=window, num_globals=num_globals, scale=scale
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((BH, L, D), jnp.float32),       # dq
+        jax.ShapeDtypeStruct((BH, L + W, D), jnp.float32),   # dkpad
+        jax.ShapeDtypeStruct((BH, L + W, D), jnp.float32),   # dvpad
+        jax.ShapeDtypeStruct((BH, num_globals, D), jnp.float32),  # dgk
+        jax.ShapeDtypeStruct((BH, num_globals, D), jnp.float32),  # dgv
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(BH, nb),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, L + W), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, num_globals), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _band_core(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
+               block_q, window, num_globals, interpret):
+    return _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
+                               block_q=block_q, window=window,
+                               num_globals=num_globals, interpret=interpret)
+
+
+def _band_core_fwd(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
+                   block_q, window, num_globals, interpret):
+    out = _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
+                              block_q=block_q, window=window,
+                              num_globals=num_globals, interpret=interpret)
+    return out, (q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3)
+
+
+def _band_core_bwd(block_q, window, num_globals, interpret, res, dout):
+    q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3 = res
+    dq, dkpad, dvpad, dgk, dgv = _band_core_bwd_call(
+        q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout.astype(jnp.float32),
+        block_q=block_q, window=window, num_globals=num_globals, interpret=interpret,
+    )
+    return (dq.astype(q3.dtype), dkpad.astype(kpad3.dtype), dvpad.astype(vpad3.dtype),
+            None, dgk.astype(gk3.dtype), dgv.astype(gv3.dtype), None)
+
+
+_band_core.defvjp(_band_core_fwd, _band_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry point
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("window", "block_q", "max_globals", "interpret"))
+def pallas_window_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_g: jnp.ndarray,
+    k_g: jnp.ndarray,
+    v_g: jnp.ndarray,
+    mask: jnp.ndarray,
+    window: int,
+    block_q: int = DEFAULT_BLOCK_Q,
+    max_globals: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Same contract as :func:`attention.dense_attention`; fused TPU kernel."""
+    B, L, H, D = q.shape
+    block_q = min(block_q, L)
+    if L % block_q:
+        raise ValueError(f"L={L} must be a multiple of block_q={block_q}")
+    half = window // 2
+    W = window
+    scale = 1.0 / jnp.sqrt(jnp.array(D, jnp.float32)).astype(q.dtype)
+    is_pad = mask == 0
+    is_global = mask == 2
+
+    # (B, L, H, D) -> (B*H, L, D)
+    def to3(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, L, D)
+
+    q3 = to3(q)
+    # window-pad K/V by half on both sides
+    kpad = jnp.pad(to3(k), ((0, 0), (half, half), (0, 0)))
+    vpad = jnp.pad(to3(v), ((0, 0), (half, half), (0, 0)))
+
+    key_local = (mask == 1).astype(jnp.int32)  # (B, L)
+    keyloc = jnp.pad(key_local, ((0, 0), (half, half)))[:, None, :]  # (B, 1, L+W)
+    keyloc3 = jnp.repeat(keyloc, H, axis=0) if H > 1 else keyloc
+    # cheaper: broadcast via reshape-tile on (B, H)
+    keyloc3 = jnp.broadcast_to(keyloc[:, None], (B, H, 1, L + W)).reshape(B * H, 1, L + W)
+
+    gidx, gvalid = global_prefix_indices(mask, max_globals)  # (B, G)
+    gk_sel = jnp.take_along_axis(k, gidx[:, :, None, None], axis=1)  # (B, G, H, D)
+    gv_sel = jnp.take_along_axis(v, gidx[:, :, None, None], axis=1)
+    gk3 = gk_sel.transpose(0, 2, 1, 3).reshape(B * H, max_globals, D)
+    gv3 = gv_sel.transpose(0, 2, 1, 3).reshape(B * H, max_globals, D)
+    gvalid3 = jnp.broadcast_to(
+        gvalid.astype(jnp.int32)[:, None, None, :], (B, H, 1, max_globals)
+    ).reshape(B * H, 1, max_globals)
+
+    out3 = _band_core(q3, kpad, vpad, keyloc3, gk3, gv3, gvalid3,
+                      block_q, window, max_globals, interpret)
+    out = out3.reshape(B, H, L, D).transpose(0, 2, 1, 3).astype(q.dtype)
+
+    # global query rows (dedicated projections) + padding zeroing
+    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype)
+    out = jnp.where(is_global[:, :, None, None], g_out, out)
+    out = jnp.where(is_pad[:, :, None, None], 0.0, out)
+    return out

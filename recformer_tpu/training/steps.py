@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax.training import train_state
 
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
 from ..config import RecformerConfig
 from ..data.device_pipeline import (
     assemble_for_config,
@@ -37,11 +39,32 @@ class TrainState(train_state.TrainState):
     pass
 
 
+def _shardings(mesh: Optional[Mesh]):
+    """(replicated, batch-sharded, catalog-row-sharded) NamedShardings, or
+    Nones when no mesh is given (single device)."""
+    if mesh is None:
+        return None, None, None
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    catalog = NamedSharding(mesh, P(MODEL_AXIS))
+    return rep, data, catalog
+
+
+def _jit(fn, mesh, in_shardings=None, out_shardings=None):
+    if mesh is None:
+        return jax.jit(fn)
+    return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_shardings)
+
+
+
 # ---------------------------------------------------------------------------
 # Pretraining
 # ---------------------------------------------------------------------------
 
-def make_pretrain_step(config: RecformerConfig, model, axis_name: Optional[str] = None):
+def make_pretrain_step(config: RecformerConfig, model, axis_name: Optional[str] = None,
+                       mesh: Optional[Mesh] = None):
     """Returns step(state, rng, table, item_ids, seq_lens) -> (state, metrics).
 
     One step = device-side pair sampling + MLM, 4 encoder passes (two views +
@@ -70,7 +93,6 @@ def make_pretrain_step(config: RecformerConfig, model, axis_name: Optional[str] 
         metrics["accuracy"] = correct / jnp.maximum(total, 1e-5)
         return loss, metrics
 
-    @jax.jit
     def step(state: TrainState, rng, table, item_ids, seq_lens):
         rng_data, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
         batch_a, batch_b = make_pretrain_batch(rng_data, table, item_ids, seq_lens, config)
@@ -79,14 +101,16 @@ def make_pretrain_step(config: RecformerConfig, model, axis_name: Optional[str] 
         )
         return state.apply_gradients(grads=grads), metrics
 
-    return step
+    rep, data, _ = _shardings(mesh)
+    return _jit(step, mesh,
+                in_shardings=(rep, rep, rep, data, data),
+                out_shardings=(rep, rep))
 
 
-def make_pretrain_eval_step(config: RecformerConfig, model):
+def make_pretrain_eval_step(config: RecformerConfig, model, mesh: Optional[Mesh] = None):
     """Validation step: deterministic forward, contrastive accuracy + loss
     (reference ``litmodels.py:30-40``)."""
 
-    @jax.jit
     def step(params, rng, table, item_ids, seq_lens):
         batch_a, batch_b = make_pretrain_batch(rng, table, item_ids, seq_lens, config)
         out = model.apply(params, batch_a, batch_b, deterministic=True)
@@ -98,14 +122,15 @@ def make_pretrain_eval_step(config: RecformerConfig, model):
             loss = loss + config.mlm_weight * losses.mlm_loss(out.mlm_logits_b, batch_b["mlm_labels"])
         return {"val_loss": loss, "cl_correct": correct, "cl_total": total}
 
-    return step
+    rep, data, _ = _shardings(mesh)
+    return _jit(step, mesh, in_shardings=(rep, rep, rep, data, data), out_shardings=rep)
 
 
 # ---------------------------------------------------------------------------
 # Sequential recommendation finetune / eval
 # ---------------------------------------------------------------------------
 
-def make_finetune_step(config: RecformerConfig, model):
+def make_finetune_step(config: RecformerConfig, model, mesh: Optional[Mesh] = None):
     """step(state, rng, table, item_ids, seq_lens, item_embeddings) ->
     (state, metrics). Sampled softmax when
     ``finetune_negative_sample_size > 0`` else full softmax
@@ -122,7 +147,6 @@ def make_finetune_step(config: RecformerConfig, model):
             loss = losses.seqrec_full_softmax_loss(pooled, item_embeddings, labels, config.temp)
         return loss
 
-    @jax.jit
     def step(state: TrainState, rng, table, item_ids, seq_lens, item_embeddings):
         rng = jax.random.fold_in(rng, state.step)
         rng_target, rng_drop, rng_neg = jax.random.split(rng, 3)
@@ -132,17 +156,20 @@ def make_finetune_step(config: RecformerConfig, model):
         )
         return state.apply_gradients(grads=grads), {"loss": loss}
 
-    return step
+    rep, data, catalog = _shardings(mesh)
+    return _jit(step, mesh,
+                in_shardings=(rep, rep, rep, data, data, catalog),
+                out_shardings=(rep, rep))
 
 
-def make_eval_step(config: RecformerConfig, model, ks: Sequence[int] = (10, 50)):
+def make_eval_step(config: RecformerConfig, model, ks: Sequence[int] = (10, 50),
+                   mesh: Optional[Mesh] = None):
     """Full-catalog ranked eval (``finetune.py:66-96``): encode the history,
     score against every item, rank the label. Returns per-metric *sums* over
     valid rows plus the valid count, for exact streaming aggregation."""
 
     ks = tuple(ks)
 
-    @jax.jit
     def step(params, table, item_ids, seq_lens, labels, valid, item_embeddings):
         batch = assemble_for_config(table, item_ids, seq_lens, config)
         pooled = model.apply(params, batch, deterministic=True)
@@ -162,20 +189,24 @@ def make_eval_step(config: RecformerConfig, model, ks: Sequence[int] = (10, 50))
         out["count"] = jnp.sum(w)
         return out
 
-    return step
+    rep, data, catalog = _shardings(mesh)
+    return _jit(step, mesh,
+                in_shardings=(rep, rep, data, data, data, data, catalog),
+                out_shardings=rep)
 
 
 # ---------------------------------------------------------------------------
 # Item encoding service
 # ---------------------------------------------------------------------------
 
-def make_encode_items_step(config: RecformerConfig, model, backbone_method: Optional[Callable] = None):
+def make_encode_items_step(config: RecformerConfig, model,
+                           backbone_method: Optional[Callable] = None,
+                           mesh: Optional[Mesh] = None):
     """Encode a chunk of items as single-item sequences at the short static
     ``item_seq_len`` (reference ``finetune.py:38-63`` pads to dynamic length).
     ``model`` must expose the pooled output for a plain batch (RecformerForSeqRec
     / the pretraining model's ``encode`` method)."""
 
-    @jax.jit
     def step(params, table, item_id_chunk):
         # (C,) item ids -> (C, 1) one-item sequences
         ids = item_id_chunk[:, None]
@@ -184,14 +215,15 @@ def make_encode_items_step(config: RecformerConfig, model, backbone_method: Opti
         pooled = model.apply(params, batch, deterministic=True, method=backbone_method)
         return pooled
 
-    return step
+    rep, data, _ = _shardings(mesh)
+    return _jit(step, mesh, in_shardings=(rep, rep, data), out_shardings=data)
 
 
 # ---------------------------------------------------------------------------
 # Fraud classification
 # ---------------------------------------------------------------------------
 
-def make_fraud_train_step(config: RecformerConfig, model):
+def make_fraud_train_step(config: RecformerConfig, model, mesh: Optional[Mesh] = None):
     def loss_fn(params, rng_drop, batch, labels, valid):
         logits = model.apply(params, batch, deterministic=False, rngs={"dropout": rng_drop})
         x = logits.astype(jnp.float32)
@@ -200,21 +232,23 @@ def make_fraud_train_step(config: RecformerConfig, model):
         w = valid.astype(jnp.float32)
         return jnp.sum(per * w) / jnp.maximum(jnp.sum(w), 1.0)
 
-    @jax.jit
     def step(state: TrainState, rng, table, item_ids, seq_lens, labels, valid):
         rng_drop = jax.random.fold_in(rng, state.step)
         batch = assemble_for_config(table, item_ids, seq_lens, config)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, rng_drop, batch, labels, valid)
         return state.apply_gradients(grads=grads), {"loss": loss}
 
-    return step
+    rep, data, _ = _shardings(mesh)
+    return _jit(step, mesh,
+                in_shardings=(rep, rep, rep, data, data, data, data),
+                out_shardings=(rep, rep))
 
 
-def make_fraud_eval_step(config: RecformerConfig, model):
-    @jax.jit
+def make_fraud_eval_step(config: RecformerConfig, model, mesh: Optional[Mesh] = None):
     def step(params, table, item_ids, seq_lens):
         batch = assemble_for_config(table, item_ids, seq_lens, config)
         logits = model.apply(params, batch, deterministic=True)
         return jax.nn.sigmoid(logits.astype(jnp.float32))
 
-    return step
+    rep, data, _ = _shardings(mesh)
+    return _jit(step, mesh, in_shardings=(rep, rep, data, data), out_shardings=data)
