@@ -1,0 +1,142 @@
+"""Clustering analytics driver: encode user sequences, cluster the embeddings,
+pick optimal k, export per-cluster stats (+ optional fraud overlay and top-1
+predictions).
+
+TPU-native counterpart of ``/root/reference/cluster.py``: sequence embeddings
+and top-1 predictions come from the jit'd encoder + sharded top-k; KMeans runs
+on device (``utils/clustering.py``); outputs are cached npy/json like the
+reference (``cluster.py:452-542``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import SequenceDataset
+from ..data.device_pipeline import assemble_for_config
+from ..models.heads import RecformerForSeqRec, similarity_scores
+from ..training.loops import encode_all_items
+from ..utils.clustering import (
+    cluster_stats,
+    kmeans,
+    kmeans_sweep,
+    pca_project,
+    pick_optimal_k,
+)
+from ..utils.io import load_finetune_artifacts, read_json
+from .common import (
+    build_config,
+    init_model_params,
+    make_tokenizer,
+    maybe_load_pretrained,
+    table_to_device,
+    tokenize_corpus_cached,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--hf_tokenizer", type=str, default=None)
+    p.add_argument("--model_size", choices=["base", "tiny"], default="base")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--min_clusters", type=int, default=2)
+    p.add_argument("--max_clusters", type=int, default=10)
+    p.add_argument("--n_clusters", type=int, default=None,
+                   help="skip the sweep and use this k")
+    p.add_argument("--output_dir", type=str, default="cluster_out")
+    p.add_argument("--fraud_labels", type=str, default=None,
+                   help="optional JSON: user -> 0/1 fraud flag overlay")
+    p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    return p.parse_args(argv)
+
+
+def extract_embeddings(params, model, table, dataset, config, batch_size,
+                       item_embeddings):
+    """Per-user sequence embedding + top-1 predicted item
+    (``cluster.py:452-542``)."""
+    embs, preds = [], []
+    for batch in dataset.batches(batch_size):
+        b = assemble_for_config(table, jnp.asarray(batch.item_ids),
+                                jnp.asarray(batch.seq_lens), config)
+        pooled = model.apply(params, b, deterministic=True)
+        scores = similarity_scores(pooled.astype(jnp.float32),
+                                   item_embeddings.astype(jnp.float32), config.temp)
+        top1 = jnp.argmax(scores, axis=1)
+        embs.append(np.asarray(pooled, np.float32)[batch.valid])
+        preds.append(np.asarray(top1)[batch.valid])
+    return np.concatenate(embs), np.concatenate(preds)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    train, val, test, meta, item2id, id2item = load_finetune_artifacts(args.data_path)
+    config = build_config(args, item_num=len(item2id))
+    tokenizer = make_tokenizer(config, args.hf_tokenizer)
+    name = os.path.basename(os.path.normpath(args.data_path))
+    table_np = tokenize_corpus_cached(
+        tokenizer, meta, item2id, os.path.join(args.data_path, "preprocess"), name
+    )
+    table = table_to_device(table_np)
+
+    model = RecformerForSeqRec(config)
+    params = init_model_params(model, config)
+    params = maybe_load_pretrained(params, args.ckpt)
+
+    emb_cache = os.path.join(args.output_dir, "sequence_embeddings.npy")
+    pred_cache = os.path.join(args.output_dir, "top1_predictions.npy")
+    max_items = max(len(s) for s in train.values())
+    ds = SequenceDataset(train, max_items=max_items)
+    if os.path.exists(emb_cache) and os.path.exists(pred_cache):
+        embeddings = np.load(emb_cache)
+        preds = np.load(pred_cache)
+        print(f"[cluster] cache hit: {emb_cache}")
+    else:
+        item_embeddings = encode_all_items(params, model, table, config)
+        embeddings, preds = extract_embeddings(
+            params, model, table, ds, config, args.batch_size, item_embeddings
+        )
+        np.save(emb_cache, embeddings)
+        np.save(pred_cache, preds)
+
+    if args.n_clusters is None:
+        sweep = kmeans_sweep(embeddings, args.min_clusters, args.max_clusters)
+        k = pick_optimal_k(sweep)
+        print(f"[cluster] sweep: {json.dumps(sweep)}")
+        print(f"[cluster] optimal k = {k}")
+        with open(os.path.join(args.output_dir, "k_sweep.json"), "w") as f:
+            json.dump({"sweep": sweep, "optimal_k": k}, f, indent=2)
+    else:
+        k = args.n_clusters
+
+    labels, centers, inertia = kmeans(embeddings, k)
+    proj = pca_project(embeddings, 2)
+
+    extra = {"top1_item": preds.astype(np.float32)}
+    if args.fraud_labels:
+        fraud = read_json(args.fraud_labels, as_int=True)
+        users = ds.users
+        extra["fraud"] = np.asarray([float(fraud.get(u, 0)) for u in users], np.float32)[
+            : len(labels)
+        ]
+    stats = cluster_stats(labels, extra)
+
+    np.save(os.path.join(args.output_dir, "cluster_labels.npy"), labels)
+    np.save(os.path.join(args.output_dir, "cluster_centers.npy"), centers)
+    np.save(os.path.join(args.output_dir, "pca_2d.npy"), proj)
+    with open(os.path.join(args.output_dir, "cluster_stats.json"), "w") as f:
+        json.dump({"k": int(k), "inertia": inertia, "clusters": stats}, f, indent=2)
+    print(f"[cluster] k={k} inertia={inertia:.2f} stats={stats}")
+    return stats
+
+
+if __name__ == "__main__":
+    main()

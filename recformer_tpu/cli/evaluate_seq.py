@@ -1,0 +1,75 @@
+"""Evaluation-only driver: load a checkpoint, encode the catalog, run
+full-corpus ranked eval on the test split.
+
+TPU-native counterpart of ``/root/reference/evaluate_seq.py`` — also the
+zero-shot cross-domain path (pretrained encoder + freshly encoded item text
+of an unseen category).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+
+from ..data.datasets import EvalDataset
+from ..models.heads import RecformerForSeqRec
+from ..training.loops import encode_all_items, evaluate_seqrec
+from ..utils.io import load_finetune_artifacts
+from .common import (
+    build_config,
+    init_model_params,
+    make_tokenizer,
+    maybe_load_pretrained,
+    table_to_device,
+    tokenize_corpus_cached,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--hf_tokenizer", type=str, default=None)
+    p.add_argument("--model_size", choices=["base", "tiny"], default="base")
+    p.add_argument("--split", choices=["val", "test"], default="test")
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--encode_batch_size", type=int, default=256)
+    p.add_argument("--temp", type=float, default=0.05)
+    p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--output_file", type=str, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    train, val, test, meta, item2id, id2item = load_finetune_artifacts(args.data_path)
+    config = build_config(args, item_num=len(item2id))
+    tokenizer = make_tokenizer(config, args.hf_tokenizer)
+    name = os.path.basename(os.path.normpath(args.data_path))
+    table_np = tokenize_corpus_cached(
+        tokenizer, meta, item2id, os.path.join(args.data_path, "preprocess"), name
+    )
+    table = table_to_device(table_np)
+
+    model = RecformerForSeqRec(config)
+    params = init_model_params(model, config)
+    params = maybe_load_pretrained(params, args.ckpt)
+
+    item_embeddings = encode_all_items(params, model, table, config,
+                                       args.encode_batch_size)
+    max_items = max(max((len(s) for s in train.values()), default=1), 1) + 1
+    ds = EvalDataset(train, val, test, args.split, max_items=max_items)
+    metrics = evaluate_seqrec(params, model, table, ds, item_embeddings, config,
+                              args.batch_size)
+    print(f"{args.split} set: {metrics}")
+    if args.output_file:
+        with open(args.output_file, "w") as f:
+            json.dump(metrics, f, indent=2)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

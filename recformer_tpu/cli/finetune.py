@@ -1,0 +1,112 @@
+"""Two-stage sequential-recommendation finetune driver.
+
+TPU-native counterpart of ``/root/reference/finetune.py``: same data
+artifacts, same two-stage schedule (stage 1 re-encodes the item catalog every
+epoch; stage 2 trains with frozen embeddings), same metrics — but batches are
+built on device, the trainer is a jit step, and everything runs at static
+shapes.
+
+Usage:
+    python -m recformer_tpu.cli.finetune --data_path finetune_data/Scientific \
+        --pretrain_ckpt ckpts/pretrain --output_dir checkpoints
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+from ..data.datasets import EvalDataset, SequenceDataset
+from ..models.heads import RecformerForSeqRec
+from ..training.checkpoint import save_params
+from ..training.loops import finetune_two_stage
+from ..training.optimizer import create_optimizer
+from ..training.steps import TrainState
+from ..utils.io import load_finetune_artifacts
+from .common import (
+    build_config,
+    init_model_params,
+    make_tokenizer,
+    maybe_load_pretrained,
+    table_to_device,
+    tokenize_corpus_cached,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="checkpoints")
+    p.add_argument("--pretrain_ckpt", type=str, default=None)
+    p.add_argument("--hf_tokenizer", type=str, default=None,
+                   help="local HF tokenizer dir (RoBERTa BPE); hash backend if absent")
+    p.add_argument("--model_size", choices=["base", "tiny"], default="base")
+    p.add_argument("--temp", type=float, default=0.05)
+    p.add_argument("--num_train_epochs", type=int, default=16)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=8)
+    p.add_argument("--finetune_negative_sample_size", type=int, default=1000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--eval_batch_size", type=int, default=32)
+    p.add_argument("--encode_batch_size", type=int, default=256)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--warmup_steps", type=int, default=100)
+    p.add_argument("--verbose", type=int, default=3)
+    p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    train, val, test, meta, item2id, id2item = load_finetune_artifacts(args.data_path)
+    config = build_config(args, item_num=len(item2id))
+    tokenizer = make_tokenizer(config, args.hf_tokenizer)
+
+    name = os.path.basename(os.path.normpath(args.data_path))
+    cache_dir = os.path.join(args.data_path, "preprocess")
+    table_np = tokenize_corpus_cached(tokenizer, meta, item2id, cache_dir, name)
+    table = table_to_device(table_np)
+
+    max_items = max(len(s) for s in train.values())
+    max_items = max(max_items, max(len(train.get(u, [])) + 1 for u in test))
+    train_ds = SequenceDataset(train, max_items=max_items)
+    val_ds = EvalDataset(train, val, test, "val", max_items=max_items)
+    test_ds = EvalDataset(train, val, test, "test", max_items=max_items)
+
+    model = RecformerForSeqRec(config)
+    params = init_model_params(model, config)
+    params = maybe_load_pretrained(params, args.pretrain_ckpt)
+
+    steps_per_epoch = max(1, len(train_ds) // args.batch_size)
+    total = steps_per_epoch * args.num_train_epochs * 2
+    tx = create_optimizer(
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        warmup_steps=args.warmup_steps, total_steps=total,
+        grad_accum_steps=args.gradient_accumulation_steps,
+    )
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    state, test_metrics = finetune_two_stage(
+        state, model, table, config, train_ds, val_ds, test_ds,
+        num_epochs=args.num_train_epochs, batch_size=args.batch_size,
+        eval_batch_size=args.eval_batch_size, encode_batch_size=args.encode_batch_size,
+        verbose=args.verbose, rng=jax.random.PRNGKey(args.seed),
+    )
+    print(f"Test set: {test_metrics}")
+
+    out = os.path.join(args.output_dir, name)
+    os.makedirs(out, exist_ok=True)
+    save_params(os.path.join(out, "best_model"), state.params)
+    config.save(os.path.join(out, "config.json"))
+    with open(os.path.join(out, "test_metrics.json"), "w") as f:
+        json.dump(test_metrics, f, indent=2)
+    return test_metrics
+
+
+if __name__ == "__main__":
+    main()

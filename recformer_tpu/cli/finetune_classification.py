@@ -1,0 +1,160 @@
+"""Fraud-detection finetune driver (binary sequence classification).
+
+TPU-native counterpart of ``/root/reference/finetune_classification.py``:
+backbone + 3-layer MLP head, BCE-with-logits with a ``pos_weight`` computed
+from the training-label imbalance scaled by 0.2
+(``finetune_classification.py:294-323,433``), per-epoch item re-encoding,
+threshold-sweep F1 selection, early stopping on F1, JSON metric dumps.
+
+Data contract: train/val/test JSON mapping user -> [sequence, [label]]
+(the transactional pipeline's classification artifacts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import FraudDataset
+from ..models.heads import RecformerForFraudDetection
+from ..training.checkpoint import save_params
+from ..training.loops import evaluate_fraud
+from ..training.optimizer import create_optimizer
+from ..training.steps import TrainState, make_fraud_train_step
+from ..utils.io import read_json
+from .common import (
+    build_config,
+    init_model_params,
+    make_tokenizer,
+    maybe_load_pretrained,
+    table_to_device,
+    tokenize_corpus_cached,
+)
+
+
+def calculate_pos_weight(dataset: FraudDataset, scale: float = 0.2) -> float:
+    """neg/pos ratio scaled by 0.2 (``finetune_classification.py:294-323``)."""
+    labels = np.asarray(dataset.labels, np.float32)
+    pos = float(labels.sum())
+    neg = float(len(labels) - pos)
+    if pos == 0:
+        return 1.0
+    return max(1.0, (neg / pos) * scale)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--train_file", type=str, default="train.json")
+    p.add_argument("--dev_file", type=str, default="val.json")
+    p.add_argument("--test_file", type=str, default="test.json")
+    p.add_argument("--meta_file", type=str, default="meta_data.json")
+    p.add_argument("--item2id_file", type=str, default="smap.json")
+    p.add_argument("--output_dir", type=str, default="checkpoints_fraud")
+    p.add_argument("--pretrain_ckpt", type=str, default=None)
+    p.add_argument("--hf_tokenizer", type=str, default=None)
+    p.add_argument("--model_size", choices=["base", "tiny"], default="base")
+    p.add_argument("--num_train_epochs", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--eval_batch_size", type=int, default=32)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--warmup_steps", type=int, default=100)
+    p.add_argument("--patience", type=int, default=3)
+    p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def _load_fraud_split(path):
+    raw = read_json(path, as_int=True)
+    return raw
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    train_raw = _load_fraud_split(os.path.join(args.data_path, args.train_file))
+    val_raw = _load_fraud_split(os.path.join(args.data_path, args.dev_file))
+    test_raw = _load_fraud_split(os.path.join(args.data_path, args.test_file))
+    meta = read_json(os.path.join(args.data_path, args.meta_file))
+    item2id = read_json(os.path.join(args.data_path, args.item2id_file))
+
+    max_items = max(len(v[0]) for v in train_raw.values())
+    train_ds = FraudDataset(train_raw, max_items=max_items)
+    val_ds = FraudDataset(val_raw, max_items=max_items)
+    test_ds = FraudDataset(test_raw, max_items=max_items)
+
+    pos_weight = calculate_pos_weight(train_ds)
+    print(f"[fraud] pos_weight={pos_weight:.3f}")
+
+    config = build_config(args, item_num=len(item2id)).replace(pos_weight=pos_weight)
+    tokenizer = make_tokenizer(config, args.hf_tokenizer)
+    name = os.path.basename(os.path.normpath(args.data_path))
+    table_np = tokenize_corpus_cached(
+        tokenizer, meta, item2id, os.path.join(args.data_path, "preprocess"), name
+    )
+    table = table_to_device(table_np)
+
+    model = RecformerForFraudDetection(config)
+    params = init_model_params(model, config)
+    params = maybe_load_pretrained(params, args.pretrain_ckpt)
+
+    steps_per_epoch = max(1, len(train_ds) // args.batch_size)
+    tx = create_optimizer(
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        warmup_steps=args.warmup_steps,
+        total_steps=steps_per_epoch * args.num_train_epochs,
+    )
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_fraud_train_step(config, model)
+
+    rng = jax.random.PRNGKey(args.seed)
+    best_f1 = -1.0
+    best_params = None
+    patience = args.patience
+    epoch_metrics = []
+    for epoch in range(args.num_train_epochs):
+        losses = []
+        for batch in train_ds.batches(args.batch_size, shuffle=True, seed=epoch):
+            state, metrics = step(state, rng, table,
+                                  jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens),
+                                  jnp.asarray(batch.labels), jnp.asarray(batch.valid))
+            losses.append(float(metrics["loss"]))
+        dev = evaluate_fraud(state.params, model, table, val_ds, config,
+                             args.eval_batch_size)
+        print(f"[fraud] epoch {epoch} loss {np.mean(losses):.4f} dev {dev}")
+        epoch_metrics.append({"epoch": epoch, "loss": float(np.mean(losses)), **{
+            k: v for k, v in dev.items() if k != "confusion"}})
+        if dev["f1"] > best_f1:
+            best_f1 = dev["f1"]
+            best_params = jax.tree.map(np.asarray, state.params)
+            patience = args.patience
+        else:
+            patience -= 1
+            if patience == 0:
+                break
+
+    if best_params is not None:
+        state = state.replace(params=jax.tree.map(jnp.asarray, best_params))
+    test_metrics = evaluate_fraud(state.params, model, table, test_ds, config,
+                                  args.eval_batch_size)
+    print(f"[fraud] test {test_metrics}")
+
+    out = os.path.join(args.output_dir, name)
+    os.makedirs(out, exist_ok=True)
+    save_params(os.path.join(out, "best_model"), state.params)
+    config.save(os.path.join(out, "config.json"))
+    with open(os.path.join(out, "test_metrics.json"), "w") as f:
+        json.dump(test_metrics, f, indent=2, default=str)
+    with open(os.path.join(out, "epoch_metrics.json"), "w") as f:
+        json.dump(epoch_metrics, f, indent=2)
+    return test_metrics
+
+
+if __name__ == "__main__":
+    main()

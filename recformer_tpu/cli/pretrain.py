@@ -1,0 +1,186 @@
+"""Pretraining driver: MLM + in-batch item-item contrastive retrieval.
+
+TPU-native counterpart of ``/root/reference/lightning_pretrain.py`` (whose
+trainer stack was Lightning + DeepSpeed ZeRO-2 fp16): a jit train step over a
+device mesh (data-parallel via GSPMD), bf16 compute, device-side batch
+construction, orbax checkpoints selected on contrastive dev accuracy.
+
+Data contract: ``--train_file``/``--dev_file`` are JSON lists of item-id
+sequences (the reference's ClickDataset rows,
+``lightning_dataloader.py:6-22``), ``--item_attr_file`` maps item id ->
+attribute dict, with ``--item2id_file`` mapping raw ids to dense ints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.datasets import SequenceDataset
+from ..models.heads import RecformerForPretraining
+from ..parallel.mesh import make_mesh
+from ..training.checkpoint import save_params
+from ..training.metrics import AverageMeterSet
+from ..training.optimizer import create_optimizer
+from ..training.steps import TrainState, make_pretrain_eval_step, make_pretrain_step
+from ..utils.io import read_json
+from .common import (
+    build_config,
+    init_model_params,
+    make_tokenizer,
+    maybe_load_pretrained,
+    table_to_device,
+    tokenize_corpus_cached,
+)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_path", type=str, required=True)
+    p.add_argument("--train_file", type=str, default="train.json")
+    p.add_argument("--dev_file", type=str, default="dev.json")
+    p.add_argument("--item_attr_file", type=str, default="meta_data.json")
+    p.add_argument("--item2id_file", type=str, default="smap.json")
+    p.add_argument("--output_dir", type=str, default="pretrain_ckpts")
+    p.add_argument("--longformer_ckpt", type=str, default=None,
+                   help="HF Longformer torch .bin to initialize from")
+    p.add_argument("--hf_tokenizer", type=str, default=None)
+    p.add_argument("--model_size", choices=["base", "tiny"], default="base")
+    p.add_argument("--num_train_epochs", type=int, default=32)
+    p.add_argument("--batch_size", type=int, default=8, help="per-device batch size")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=8)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--warmup_steps", type=int, default=1000)
+    p.add_argument("--temp", type=float, default=0.05)
+    p.add_argument("--mlm_weight", type=float, default=0.1)
+    p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--fix_word_embedding", action="store_true")
+    p.add_argument("--valid_step_interval", type=int, default=2000)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    config = build_config(args)
+    tokenizer = make_tokenizer(config, args.hf_tokenizer)
+
+    train_seqs = read_json(os.path.join(args.data_path, args.train_file)) \
+        if args.train_file.endswith(".json") else None
+    if isinstance(train_seqs, dict):
+        train_seqs = list(train_seqs.values())
+    dev_path = os.path.join(args.data_path, args.dev_file)
+    dev_seqs = read_json(dev_path) if os.path.exists(dev_path) else train_seqs
+    if isinstance(dev_seqs, dict):
+        dev_seqs = list(dev_seqs.values())
+
+    meta = read_json(os.path.join(args.data_path, args.item_attr_file))
+    item2id = read_json(os.path.join(args.data_path, args.item2id_file))
+    table_np = tokenize_corpus_cached(
+        tokenizer, meta, item2id, os.path.join(args.data_path, "preprocess"), "pretrain"
+    )
+    table = table_to_device(table_np)
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    n_dev = jax.device_count()
+    global_batch = args.batch_size * n_dev
+
+    max_items = max(len(s) for s in train_seqs)
+    train_ds = SequenceDataset({i: s for i, s in enumerate(train_seqs)}, max_items=max_items)
+    dev_ds = SequenceDataset({i: s for i, s in enumerate(dev_seqs)}, max_items=max_items)
+
+    model = RecformerForPretraining(config)
+    params = init_model_params(model, config, with_mlm=True)
+    params = maybe_load_pretrained(params, args.longformer_ckpt)
+
+    steps_per_epoch = max(1, len(train_ds) // global_batch)
+    total = steps_per_epoch * args.num_train_epochs
+    tx = create_optimizer(
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        warmup_steps=args.warmup_steps, total_steps=total,
+        grad_accum_steps=args.gradient_accumulation_steps,
+    )
+    if args.fix_word_embedding:
+        import optax
+
+        # zero updates for the word-embedding table
+        # (reference --fix_word_embedding, lightning_pretrain.py:120-123)
+        def label_fn(params):
+            def mark(path, _):
+                return "frozen" if any(
+                    getattr(k, "key", None) == "word_embeddings" for k in path
+                ) else "train"
+            return jax.tree_util.tree_map_with_path(mark, params)
+
+        tx = optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()}, label_fn)
+
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_pretrain_step(config, model, mesh=mesh)
+    eval_step = make_pretrain_eval_step(config, model, mesh=mesh)
+
+    rng = jax.random.PRNGKey(args.seed)
+    best_acc = -1.0
+    os.makedirs(args.output_dir, exist_ok=True)
+    meters = AverageMeterSet()
+    global_step = 0
+    t0 = time.time()
+    ctx = mesh if mesh is not None else _nullcontext()
+    with ctx:
+        for epoch in range(args.num_train_epochs):
+            for batch in train_ds.batches(global_batch, shuffle=True, seed=epoch,
+                                          drop_last=True):
+                state, metrics = step(state, rng, table,
+                                      jnp.asarray(batch.item_ids),
+                                      jnp.asarray(batch.seq_lens))
+                global_step += 1
+                if global_step % 50 == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    rate = global_batch * 50 / (time.time() - t0)
+                    t0 = time.time()
+                    print(f"[pretrain] step {global_step} loss {m['loss']:.4f} "
+                          f"acc {m['accuracy']:.4f} ({rate:.1f} ex/s)")
+                if global_step % args.valid_step_interval == 0:
+                    acc = _validate(eval_step, state, rng, table, dev_ds, global_batch)
+                    print(f"[pretrain] dev accuracy {acc:.4f}")
+                    if acc > best_acc:
+                        best_acc = acc
+                        save_params(os.path.join(args.output_dir, "best"), state.params)
+            acc = _validate(eval_step, state, rng, table, dev_ds, global_batch)
+            print(f"[pretrain] epoch {epoch} dev accuracy {acc:.4f}")
+            if acc > best_acc:
+                best_acc = acc
+                save_params(os.path.join(args.output_dir, "best"), state.params)
+            save_params(os.path.join(args.output_dir, "last"), state.params)
+    config.save(os.path.join(args.output_dir, "config.json"))
+    print(f"[pretrain] done; best dev accuracy {best_acc:.4f}")
+
+
+def _validate(eval_step, state, rng, table, dev_ds, batch_size, max_batches=50):
+    correct = total = 0.0
+    for i, batch in enumerate(dev_ds.batches(batch_size, drop_last=True)):
+        if i >= max_batches:
+            break
+        out = eval_step(state.params, jax.random.fold_in(rng, i), table,
+                        jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens))
+        correct += float(out["cl_correct"])
+        total += float(out["cl_total"])
+    return correct / max(total, 1.0)
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
+if __name__ == "__main__":
+    main()

@@ -64,7 +64,7 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     q = q_ref[0].astype(jnp.float32) * scale  # (block_q, D)
     k_band = kpad_ref[0, pl.ds(i * block_q, band), :].astype(jnp.float32)  # (band, D)
     v_band = vpad_ref[0, pl.ds(i * block_q, band), :].astype(jnp.float32)
-    key_ok = keyloc_ref[0, 0, pl.ds(i * block_q, band)] != 0  # (band,)
+    key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0  # (band,)
 
     scores = jax.lax.dot_general(
         q, k_band, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -117,7 +117,7 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     q = q_ref[0].astype(jnp.float32) * scale
     k_band = kpad_ref[0, pl.ds(i * block_q, band), :].astype(jnp.float32)
     v_band = vpad_ref[0, pl.ds(i * block_q, band), :].astype(jnp.float32)
-    key_ok = keyloc_ref[0, 0, pl.ds(i * block_q, band)] != 0
+    key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0
     gk = gk_ref[0].astype(jnp.float32)
     gv = gv_ref[0].astype(jnp.float32)
     g_ok = gvalid_ref[0, 0, :] != 0
@@ -193,7 +193,7 @@ def _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, L + W), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, 1), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, 1, num_globals), lambda b, i: (b, 0, 0)),
@@ -227,7 +227,7 @@ def _band_core_bwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3,
             pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, L + W), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, 1), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, 1, num_globals), lambda b, i: (b, 0, 0)),
@@ -313,10 +313,8 @@ def pallas_window_attention(
     vpad = jnp.pad(to3(v), ((0, 0), (half, half), (0, 0)))
 
     key_local = (mask == 1).astype(jnp.int32)  # (B, L)
-    keyloc = jnp.pad(key_local, ((0, 0), (half, half)))[:, None, :]  # (B, 1, L+W)
-    keyloc3 = jnp.repeat(keyloc, H, axis=0) if H > 1 else keyloc
-    # cheaper: broadcast via reshape-tile on (B, H)
-    keyloc3 = jnp.broadcast_to(keyloc[:, None], (B, H, 1, L + W)).reshape(B * H, 1, L + W)
+    keyloc = jnp.pad(key_local, ((0, 0), (half, half)))  # (B, L+W)
+    keyloc3 = jnp.broadcast_to(keyloc[:, None], (B, H, L + W)).reshape(B * H, L + W, 1)
 
     gidx, gvalid = global_prefix_indices(mask, max_globals)  # (B, G)
     gk_sel = jnp.take_along_axis(k, gidx[:, :, None, None], axis=1)  # (B, G, H, D)

@@ -1,0 +1,187 @@
+"""Checkpointing: orbax save/restore + torch/HF Longformer weight import.
+
+Replaces the reference's three-script checkpoint surgery chain
+(``/root/reference/save_longformer_ckpt.py`` -> DeepSpeed zero merge ->
+``convert_pretrain_ckpt.py``) with:
+
+- :func:`save_params` / :func:`restore_params` — orbax, any pytree;
+- :func:`import_torch_state_dict` — one name-mapped converter that accepts
+  either a raw HF ``LongformerForMaskedLM`` state dict or a reference
+  Recformer checkpoint, copies every name+shape match into a flax param tree,
+  and (like ``save_longformer_ckpt.py:15-29``) leaves non-matching params —
+  e.g. the 4-row token-type table vs HF's 1-row, and the new item-position
+  embeddings — at their fresh initialization, reporting what was skipped.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Orbax
+# ---------------------------------------------------------------------------
+
+def save_params(path: str, params) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.tree.map(np.asarray, params), force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_params(path: str, template=None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        template = jax.tree.map(np.asarray, template)
+        return ckptr.restore(path, template)
+    return ckptr.restore(path)
+
+
+# ---------------------------------------------------------------------------
+# Torch -> flax name mapping
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix=()) -> Dict[Tuple[str, ...], np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], np.ndarray]):
+    root: dict = {}
+    for path, v in flat.items():
+        node = root
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = v
+    return root
+
+
+def _torch_name_to_flax_path(name: str) -> Tuple[Tuple[str, ...], bool]:
+    """Map a torch Longformer/Recformer parameter name to our flax tree path.
+    Returns (path, transpose) where transpose applies to Dense kernels.
+    Raises KeyError for names with no counterpart (position_ids buffers...)."""
+    n = name
+    # strip Lightning/DeepSpeed wrapper prefixes (convert_pretrain_ckpt.py:25-30)
+    n = re.sub(r"^_forward_module\.", "", n)
+    n = re.sub(r"^model\.", "", n)
+
+    emb = {
+        "word_embeddings.weight": ("embeddings", "word_embeddings", "embedding"),
+        "position_embeddings.weight": ("embeddings", "position_embeddings", "embedding"),
+        "token_type_embeddings.weight": ("embeddings", "token_type_embeddings", "embedding"),
+        "item_position_embeddings.weight": ("embeddings", "item_position_embeddings", "embedding"),
+        "LayerNorm.weight": ("embeddings", "LayerNorm", "scale"),
+        "LayerNorm.bias": ("embeddings", "LayerNorm", "bias"),
+    }
+    m = re.match(r"^longformer\.embeddings\.(.+)$", n)
+    if m and m.group(1) in emb:
+        return ("longformer",) + emb[m.group(1)], False
+
+    m = re.match(
+        r"^longformer\.encoder\.layer\.(\d+)\.(.+)$", n
+    )
+    if m:
+        i, rest = int(m.group(1)), m.group(2)
+        layer = ("longformer", "encoder", f"layer_{i}")
+        attn_proj = re.match(
+            r"attention\.self\.(query|key|value|query_global|key_global|value_global)\.(weight|bias)$",
+            rest,
+        )
+        if attn_proj:
+            proj, wb = attn_proj.groups()
+            leaf = ("kernel", True) if wb == "weight" else ("bias", False)
+            return layer + ("attention", "self", proj, leaf[0]), leaf[1]
+        table = {
+            "attention.output.dense.weight": (("attention", "output_dense", "kernel"), True),
+            "attention.output.dense.bias": (("attention", "output_dense", "bias"), False),
+            "attention.output.LayerNorm.weight": (("attention", "output_LayerNorm", "scale"), False),
+            "attention.output.LayerNorm.bias": (("attention", "output_LayerNorm", "bias"), False),
+            "intermediate.dense.weight": (("ffn", "intermediate_dense", "kernel"), True),
+            "intermediate.dense.bias": (("ffn", "intermediate_dense", "bias"), False),
+            "output.dense.weight": (("ffn", "output_dense", "kernel"), True),
+            "output.dense.bias": (("ffn", "output_dense", "bias"), False),
+            "output.LayerNorm.weight": (("ffn", "output_LayerNorm", "scale"), False),
+            "output.LayerNorm.bias": (("ffn", "output_LayerNorm", "bias"), False),
+        }
+        if rest in table:
+            path, tr = table[rest]
+            return layer + path, tr
+        raise KeyError(name)
+
+    lm = {
+        "lm_head.dense.weight": (("lm_head", "dense", "kernel"), True),
+        "lm_head.dense.bias": (("lm_head", "dense", "bias"), False),
+        "lm_head.layer_norm.weight": (("lm_head", "layer_norm", "scale"), False),
+        "lm_head.layer_norm.bias": (("lm_head", "layer_norm", "bias"), False),
+        "lm_head.bias": (("lm_head", "bias"), False),
+    }
+    if n in lm:
+        path, tr = lm[n]
+        return path, tr
+    raise KeyError(name)
+
+
+def import_torch_state_dict(
+    state_dict: Dict[str, "np.ndarray"],
+    params,
+    strict: bool = False,
+    verbose: bool = True,
+) -> Tuple[dict, List[str], List[str]]:
+    """Copy every name+shape-matching tensor from a torch state dict into a
+    flax param tree (``{'params': ...}`` or bare). Returns
+    (new_params, copied_names, skipped_names)."""
+    bare = "params" not in params
+    tree = params if bare else params["params"]
+    flat = _flatten(jax.tree.map(np.asarray, tree))
+    copied, skipped = [], []
+    for name, tensor in state_dict.items():
+        arr = np.asarray(tensor)
+        try:
+            path, transpose = _torch_name_to_flax_path(name)
+        except KeyError:
+            skipped.append(name)
+            continue
+        if path not in flat:
+            skipped.append(name)
+            continue
+        if transpose:
+            arr = arr.T
+        if flat[path].shape != arr.shape:
+            skipped.append(f"{name} (shape {arr.shape} vs {flat[path].shape})")
+            continue
+        flat[path] = arr.astype(flat[path].dtype)
+        copied.append(name)
+    if verbose:
+        print(f"[import] copied {len(copied)} tensors, skipped {len(skipped)}")
+        for s in skipped[:20]:
+            print(f"[import]   skipped: {s}")
+    if strict and skipped:
+        raise ValueError(f"strict import: skipped {skipped}")
+    new_tree = _unflatten(flat)
+    return (new_tree if bare else {**params, "params": new_tree}), copied, skipped
+
+
+def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch ``.bin`` checkpoint to numpy on CPU (no CUDA)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}

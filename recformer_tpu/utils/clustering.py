@@ -1,0 +1,147 @@
+"""Embedding clustering analytics: device-accelerated KMeans, silhouette,
+elbow-based k selection, PCA projection.
+
+Counterpart of the reference's sklearn-based ``cluster.py`` analytics
+(``/root/reference/cluster.py:84-218``): KMeans sweep with inertia +
+silhouette, elbow/silhouette optimal-k pick, 2-D projection, per-cluster
+stats. Implemented TPU-native: Lloyd iterations are one jit'd
+assign+update step (all MXU matmuls); silhouette is computed exactly on a
+subsample. No sklearn/umap dependency.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _lloyd_step(x: jnp.ndarray, centers: jnp.ndarray, k: int):
+    # x: (N, D), centers: (k, D)
+    d2 = (
+        jnp.sum(x * x, axis=1, keepdims=True)
+        - 2.0 * x @ centers.T
+        + jnp.sum(centers * centers, axis=1)[None, :]
+    )  # (N, k)
+    assign = jnp.argmin(d2, axis=1)
+    one_hot = jax.nn.one_hot(assign, k, dtype=x.dtype)  # (N, k)
+    counts = one_hot.sum(0)  # (k,)
+    sums = one_hot.T @ x  # (k, D)
+    new_centers = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1), centers)
+    inertia = jnp.sum(jnp.min(d2, axis=1).clip(0))
+    return assign, new_centers, inertia
+
+
+def _kmeans_pp_init(x: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
+    n = x.shape[0]
+    centers = [x[rng.integers(n)]]
+    d2 = np.full(n, np.inf)
+    for _ in range(k - 1):
+        d2 = np.minimum(d2, ((x - centers[-1]) ** 2).sum(1))
+        probs = d2 / max(d2.sum(), 1e-12)
+        centers.append(x[rng.choice(n, p=probs)])
+    return np.stack(centers)
+
+
+def kmeans(
+    embeddings: np.ndarray, k: int, max_iters: int = 100, tol: float = 1e-4,
+    seed: int = 42,
+) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Returns (labels (N,), centers (k, D), inertia)."""
+    x = jnp.asarray(embeddings, jnp.float32)
+    rng = np.random.default_rng(seed)
+    centers = jnp.asarray(_kmeans_pp_init(np.asarray(embeddings, np.float32), k, rng))
+    prev_inertia = np.inf
+    assign = None
+    for _ in range(max_iters):
+        assign, centers, inertia = _lloyd_step(x, centers, k)
+        inertia = float(inertia)
+        if prev_inertia - inertia < tol * max(abs(prev_inertia), 1.0):
+            break
+        prev_inertia = inertia
+    return np.asarray(assign), np.asarray(centers), float(inertia)
+
+
+def silhouette_score(embeddings: np.ndarray, labels: np.ndarray,
+                     max_samples: int = 2000, seed: int = 0) -> float:
+    """Mean silhouette coefficient, exact on a subsample."""
+    n = embeddings.shape[0]
+    if len(np.unique(labels)) < 2:
+        return 0.0
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(n, size=min(n, max_samples), replace=False)
+    x = embeddings[idx].astype(np.float32)
+    y = labels[idx]
+    # pairwise distances sample -> all points
+    d = np.sqrt(np.maximum(
+        (x * x).sum(1)[:, None] - 2 * x @ embeddings.T.astype(np.float32)
+        + (embeddings.astype(np.float32) ** 2).sum(1)[None, :], 0))
+    scores = []
+    uniq = np.unique(labels)
+    for i in range(len(idx)):
+        own = labels == y[i]
+        own_count = own.sum() - 1
+        if own_count <= 0:
+            scores.append(0.0)
+            continue
+        a = (d[i][own].sum() - 0.0) / own_count
+        b = min(d[i][labels == c].mean() for c in uniq if c != y[i])
+        scores.append((b - a) / max(a, b, 1e-12))
+    return float(np.mean(scores))
+
+
+def kmeans_sweep(embeddings: np.ndarray, k_min: int = 2, k_max: int = 10,
+                 seed: int = 42) -> Dict[int, Dict[str, float]]:
+    """Inertia + silhouette for k in [k_min, k_max]
+    (``cluster.py:84-106``)."""
+    out = {}
+    for k in range(k_min, min(k_max, embeddings.shape[0] - 1) + 1):
+        labels, centers, inertia = kmeans(embeddings, k, seed=seed)
+        out[k] = {
+            "inertia": inertia,
+            "silhouette": silhouette_score(embeddings, labels, seed=seed),
+        }
+    return out
+
+
+def pick_optimal_k(sweep: Dict[int, Dict[str, float]]) -> int:
+    """Combine the elbow criterion (max second difference of inertia) with the
+    max-silhouette pick (``cluster.py:108-142``): prefer the silhouette
+    winner, fall back to the elbow when silhouettes are flat."""
+    ks = sorted(sweep)
+    if not ks:
+        raise ValueError("empty sweep")
+    sil = {k: sweep[k]["silhouette"] for k in ks}
+    best_sil = max(ks, key=lambda k: sil[k])
+    if max(sil.values()) - min(sil.values()) > 1e-3:
+        return best_sil
+    if len(ks) >= 3:
+        inertias = np.array([sweep[k]["inertia"] for k in ks])
+        second_diff = inertias[:-2] - 2 * inertias[1:-1] + inertias[2:]
+        return ks[int(np.argmax(second_diff)) + 1]
+    return best_sil
+
+
+def pca_project(embeddings: np.ndarray, dims: int = 2) -> np.ndarray:
+    x = embeddings.astype(np.float64)
+    x = x - x.mean(0)
+    _, _, vt = np.linalg.svd(x, full_matrices=False)
+    return (x @ vt[:dims].T).astype(np.float32)
+
+
+def cluster_stats(labels: np.ndarray, extra: Optional[Dict[str, np.ndarray]] = None) -> Dict:
+    """Per-cluster sizes plus means of any extra per-point arrays (e.g. a
+    fraud-label overlay — ``cluster.py:609-635``)."""
+    out = {}
+    for c in np.unique(labels):
+        member = labels == c
+        stats = {"size": int(member.sum()), "fraction": float(member.mean())}
+        if extra:
+            for name, arr in extra.items():
+                stats[f"mean_{name}"] = float(np.asarray(arr)[member].mean())
+        out[int(c)] = stats
+    return out

@@ -1,0 +1,135 @@
+"""Checkpoint round-trip and torch-state-dict import tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from recformer_tpu.config import RecformerConfig
+from recformer_tpu.models.heads import RecformerForPretraining, RecformerForSeqRec
+from recformer_tpu.training.checkpoint import (
+    _flatten,
+    import_torch_state_dict,
+    restore_params,
+    save_params,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return RecformerConfig.tiny()
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    model = RecformerForPretraining(cfg)
+    B, L = 2, cfg.max_token_num
+    batch = {
+        k: jnp.zeros((B, L), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    # include MLM inputs so the lm_head is materialized at init
+    batch["mlm_input_ids"] = batch["input_ids"]
+    batch["mlm_positions"] = jnp.zeros((B, 4), jnp.int32)
+    return model.init(jax.random.PRNGKey(0), batch, batch)
+
+
+def test_orbax_roundtrip(tmp_path, params):
+    path = str(tmp_path / "ckpt")
+    save_params(path, params)
+    restored = restore_params(path, template=params)
+    a = _flatten(jax.tree.map(np.asarray, params))
+    b = _flatten(jax.tree.map(np.asarray, restored))
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def fake_torch_state_dict(cfg, rng):
+    """A minimal HF-Longformer-shaped state dict matching the tiny config."""
+    H, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    sd = {
+        "longformer.embeddings.word_embeddings.weight": rng.standard_normal((V, H)),
+        "longformer.embeddings.position_embeddings.weight": rng.standard_normal(
+            (cfg.max_position_embeddings, H)),
+        # HF longformer has a 1-row token-type table: must be SKIPPED (shape mismatch)
+        "longformer.embeddings.token_type_embeddings.weight": rng.standard_normal((1, H)),
+        "longformer.embeddings.LayerNorm.weight": rng.standard_normal(H),
+        "longformer.embeddings.LayerNorm.bias": rng.standard_normal(H),
+        "lm_head.dense.weight": rng.standard_normal((H, H)),
+        "lm_head.dense.bias": rng.standard_normal(H),
+        "lm_head.layer_norm.weight": rng.standard_normal(H),
+        "lm_head.layer_norm.bias": rng.standard_normal(H),
+        "lm_head.bias": rng.standard_normal(V),
+        # an HF-only name with no counterpart
+        "longformer.embeddings.position_ids": np.arange(10),
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"longformer.encoder.layer.{i}"
+        for proj in ("query", "key", "value", "query_global", "key_global", "value_global"):
+            sd[f"{p}.attention.self.{proj}.weight"] = rng.standard_normal((H, H))
+            sd[f"{p}.attention.self.{proj}.bias"] = rng.standard_normal(H)
+        sd[f"{p}.attention.output.dense.weight"] = rng.standard_normal((H, H))
+        sd[f"{p}.attention.output.dense.bias"] = rng.standard_normal(H)
+        sd[f"{p}.attention.output.LayerNorm.weight"] = rng.standard_normal(H)
+        sd[f"{p}.attention.output.LayerNorm.bias"] = rng.standard_normal(H)
+        sd[f"{p}.intermediate.dense.weight"] = rng.standard_normal((I, H))
+        sd[f"{p}.intermediate.dense.bias"] = rng.standard_normal(I)
+        sd[f"{p}.output.dense.weight"] = rng.standard_normal((H, I))
+        sd[f"{p}.output.dense.bias"] = rng.standard_normal(H)
+        sd[f"{p}.output.LayerNorm.weight"] = rng.standard_normal(H)
+        sd[f"{p}.output.LayerNorm.bias"] = rng.standard_normal(H)
+    return sd
+
+
+def test_torch_import(cfg, params):
+    rng = np.random.default_rng(0)
+    sd = fake_torch_state_dict(cfg, rng)
+    new_params, copied, skipped = import_torch_state_dict(sd, params, verbose=False)
+
+    # token-type (1 row vs 4) and position_ids must be skipped
+    assert any("token_type_embeddings" in s for s in skipped)
+    assert any("position_ids" in s for s in skipped)
+    # everything else copied
+    assert len(copied) == len(sd) - 2
+
+    flat = _flatten(new_params["params"])
+    np.testing.assert_allclose(
+        flat[("longformer", "embeddings", "word_embeddings", "embedding")],
+        sd["longformer.embeddings.word_embeddings.weight"].astype(np.float32),
+    )
+    # dense kernels are transposed
+    np.testing.assert_allclose(
+        flat[("longformer", "encoder", "layer_0", "attention", "self", "query", "kernel")],
+        sd["longformer.encoder.layer.0.attention.self.query.weight"].T.astype(np.float32),
+    )
+    # untouched params remain at init
+    old = _flatten(params["params"])
+    np.testing.assert_array_equal(
+        flat[("longformer", "embeddings", "token_type_embeddings", "embedding")],
+        np.asarray(old[("longformer", "embeddings", "token_type_embeddings", "embedding")]),
+    )
+
+
+def test_import_into_seqrec_subset(cfg):
+    """A SeqRec model (no lm_head) imports the backbone subset cleanly —
+    the reference's strict=False load (``finetune.py:269``)."""
+    model = RecformerForSeqRec(cfg)
+    B, L = 1, cfg.max_token_num
+    batch = {
+        k: jnp.zeros((B, L), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), batch)
+    rng = np.random.default_rng(0)
+    sd = fake_torch_state_dict(cfg, rng)
+    new_params, copied, skipped = import_torch_state_dict(sd, params, verbose=False)
+    # lm_head names have no home here -> skipped, backbone still lands
+    assert any(s.startswith("lm_head") for s in skipped)
+    flat = _flatten(new_params["params"])
+    np.testing.assert_allclose(
+        flat[("longformer", "embeddings", "word_embeddings", "embedding")],
+        sd["longformer.embeddings.word_embeddings.weight"].astype(np.float32),
+    )
