@@ -1,0 +1,120 @@
+"""End-to-end driver tests: synthetic artifacts -> finetune / evaluate /
+fraud / cluster drivers (tiny model, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from recformer_tpu.utils.io import write_json
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    """Synthetic finetune-artifact directory matching the reference contract."""
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    n_items, n_users = 25, 20
+    words = ["red", "blue", "bolt", "nut", "gear", "led", "cap", "fan"]
+    meta = {
+        f"I{i:03d}": {"make": words[i % len(words)], "hue": words[(i * 3 + 1) % len(words)]}
+        for i in range(n_items)
+    }
+    smap = {f"I{i:03d}": i for i in range(n_items)}
+    train, val, test = {}, {}, {}
+    for u in range(n_users):
+        seq = list(rng.integers(0, n_items, size=rng.integers(4, 9)))
+        train[u] = [int(x) for x in seq[:-2]]
+        val[u] = [int(seq[-2])]
+        test[u] = [int(seq[-1])]
+    write_json(train, str(root / "train.json"))
+    write_json(val, str(root / "val.json"))
+    write_json(test, str(root / "test.json"))
+    write_json(meta, str(root / "meta_data.json"))
+    write_json(smap, str(root / "smap.json"))
+    return root
+
+
+def test_finetune_driver_end_to_end(artifacts, tmp_path):
+    from recformer_tpu.cli.finetune import main
+
+    out = tmp_path / "ckpt"
+    metrics = main([
+        "--data_path", str(artifacts),
+        "--output_dir", str(out),
+        "--model_size", "tiny",
+        "--num_train_epochs", "1",
+        "--batch_size", "8",
+        "--eval_batch_size", "8",
+        "--encode_batch_size", "8",
+        "--verbose", "1",
+        "--gradient_accumulation_steps", "1",
+        "--finetune_negative_sample_size", "5",
+    ])
+    assert "NDCG@10" in metrics
+    name = os.path.basename(os.path.normpath(str(artifacts)))
+    assert (out / name / "test_metrics.json").exists()
+    assert (out / name / "config.json").exists()
+
+
+def test_evaluate_driver(artifacts, tmp_path):
+    from recformer_tpu.cli.evaluate_seq import main
+
+    out_file = tmp_path / "metrics.json"
+    metrics = main([
+        "--data_path", str(artifacts),
+        "--ckpt", "",  # random init zero-shot
+        "--model_size", "tiny",
+        "--batch_size", "8",
+        "--encode_batch_size", "8",
+        "--output_file", str(out_file),
+    ])
+    assert "Recall@10" in metrics
+    assert out_file.exists()
+
+
+def test_cluster_driver(artifacts, tmp_path):
+    from recformer_tpu.cli.cluster import main
+
+    out = tmp_path / "clusters"
+    stats = main([
+        "--data_path", str(artifacts),
+        "--model_size", "tiny",
+        "--batch_size", "8",
+        "--min_clusters", "2",
+        "--max_clusters", "3",
+        "--output_dir", str(out),
+    ])
+    assert len(stats) >= 2
+    assert (out / "cluster_stats.json").exists()
+    assert (out / "k_sweep.json").exists()
+    assert (out / "pca_2d.npy").exists()
+
+
+def test_fraud_driver(artifacts, tmp_path):
+    from recformer_tpu.cli.finetune_classification import main
+
+    rng = np.random.default_rng(1)
+    root = tmp_path / "fraud_data"
+    os.makedirs(root)
+    for name in ("train.json", "val.json", "test.json"):
+        data = {}
+        for u in range(12):
+            seq = [int(x) for x in rng.integers(0, 25, size=rng.integers(3, 7))]
+            data[u] = [seq, [int(rng.random() < 0.3)]]
+        write_json(data, str(root / name))
+    # share the item metadata
+    for f in ("meta_data.json", "smap.json"):
+        write_json(json.load(open(artifacts / f)), str(root / f))
+
+    out = tmp_path / "fraud_out"
+    metrics = main([
+        "--data_path", str(root),
+        "--output_dir", str(out),
+        "--model_size", "tiny",
+        "--num_train_epochs", "1",
+        "--batch_size", "8",
+        "--eval_batch_size", "8",
+    ])
+    assert "f1" in metrics and "auc" in metrics

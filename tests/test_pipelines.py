@@ -1,0 +1,179 @@
+"""Offline data-pipeline tests: amazon + transactional artifact contracts,
+clustering analytics."""
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from recformer_tpu.pipelines.amazon import build_finetune_category, build_pretrain_corpus
+from recformer_tpu.pipelines.transactional import (
+    amount_bin_label,
+    build_all,
+    fit_signature_encoder,
+    make_amount_bins,
+)
+from recformer_tpu.utils.clustering import (
+    kmeans,
+    kmeans_sweep,
+    pca_project,
+    pick_optimal_k,
+    silhouette_score,
+)
+
+
+def write_jsonl_gz(path, rows):
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture
+def amazon_raw(tmp_path):
+    rng = np.random.default_rng(0)
+    asins = [f"A{i:03d}" for i in range(30)]
+    meta = [{"asin": a, "title": f"item {a}", "brand": f"brand{i%5}",
+             "category": ["Cat", f"sub{i%3}"]} for i, a in enumerate(asins)]
+    reviews = []
+    for u in range(40):
+        n = rng.integers(4, 10)
+        for t in range(n):
+            reviews.append({
+                "reviewerID": f"U{u:03d}",
+                "asin": asins[rng.integers(len(asins))],
+                "unixReviewTime": int(1e9 + u * 1000 + t),
+            })
+    write_jsonl_gz(tmp_path / "Cat_metadata.jsonl.gz", meta)
+    write_jsonl_gz(tmp_path / "Cat_reviews.jsonl.gz", reviews)
+    write_jsonl_gz(tmp_path / "Dev_metadata.jsonl.gz", meta)
+    write_jsonl_gz(tmp_path / "Dev_reviews.jsonl.gz", reviews[:100])
+    return tmp_path
+
+
+def test_amazon_finetune_artifacts(amazon_raw, tmp_path):
+    out = tmp_path / "ft"
+    build_finetune_category(
+        str(amazon_raw / "Cat_reviews.jsonl.gz"),
+        str(amazon_raw / "Cat_metadata.jsonl.gz"),
+        str(out),
+        subsample_one_in=1,  # keep all users for the test
+    )
+    train = json.load(open(out / "train.json"))
+    val = json.load(open(out / "val.json"))
+    test = json.load(open(out / "test.json"))
+    smap = json.load(open(out / "smap.json"))
+    meta = json.load(open(out / "meta_data.json"))
+    assert len(train) > 0
+    # leave-one-out: val/test hold exactly one item; train = rest
+    for u in val:
+        assert len(val[u]) == 1 and len(test[u]) == 1
+        assert u in train
+    # smap ids dense
+    assert sorted(smap.values()) == list(range(len(smap)))
+    # meta only for mapped items
+    assert set(meta) <= set(smap)
+
+
+def test_amazon_pretrain_corpus(amazon_raw, tmp_path):
+    out = tmp_path / "pre"
+    build_pretrain_corpus(["Cat", "Dev"], str(amazon_raw), str(out))
+    train = json.load(open(out / "train.json"))
+    dev = json.load(open(out / "dev.json"))
+    smap = json.load(open(out / "smap.json"))
+    assert len(train) > 0 and len(dev) > 0
+    flat = [i for s in train + dev for i in s]
+    assert max(flat) < len(smap)
+
+
+def test_amount_binning():
+    edges, labels = make_amount_bins()
+    assert amount_bin_label(0.0, edges, labels) == labels[0]
+    assert amount_bin_label(-5.0, edges, labels) == amount_bin_label(5.0, edges, labels)
+    assert amount_bin_label(10_500.0, edges, labels) == labels[-1]
+    assert labels[-1].endswith("-inf")
+    # [left, right): exactly 10 falls in the bin starting at 10
+    lab = amount_bin_label(10.0, edges, labels)
+    assert lab.startswith("10-")
+
+
+def test_signature_encoder_sorted():
+    rows = [{"transaction_signature": s} for s in ("b", "a", "c", "a")]
+    enc = fit_signature_encoder(rows)
+    assert enc == {"a": "TRANSACTION_0", "b": "TRANSACTION_1", "c": "TRANSACTION_2"}
+
+
+@pytest.fixture
+def txn_csv(tmp_path):
+    import csv
+
+    rng = np.random.default_rng(0)
+    path = tmp_path / "txn_train.csv"
+    merchants = ["shopA", "shopB", "shopC"]
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=[
+            "trans_date_trans_time", "amt", "merchant", "cc_num", "is_fraud"])
+        w.writeheader()
+        for card in range(12):
+            n = int(rng.integers(3, 9))
+            for t in range(n):
+                w.writerow({
+                    "trans_date_trans_time": f"2020-0{1 + t % 9}-1{t % 9} 12:3{t % 6}:00",
+                    "amt": float(rng.uniform(1, 500)),
+                    "merchant": merchants[int(rng.integers(3))],
+                    "cc_num": f"4000{card:04d}",
+                    "is_fraud": int(rng.random() < 0.2),
+                })
+    return path
+
+
+def test_transactional_build_all(txn_csv, tmp_path):
+    out = tmp_path / "txn_out"
+    build_all([str(txn_csv)], [], str(out), seed=0)
+    for sub in ("pretrain_data", "finetune_data", "classification_data",
+                "classification_data_single"):
+        assert (out / sub).exists(), sub
+    smap = json.load(open(out / "smap.json"))
+    meta = json.load(open(out / "meta_data.json"))
+    assert set(meta) == set(smap)
+    assert all(t.startswith("TRANSACTION_") for t in smap)
+    # meta attribute contract
+    sample = next(iter(meta.values()))
+    assert set(sample) == {"amount", "merchant", "year", "month", "day", "weekday"}
+    # classification rows: [sequence, [flag]]
+    cls = json.load(open(out / "classification_data" / "train.json"))
+    for seq, flag in cls.values():
+        assert isinstance(seq, list) and flag[0] in (0, 1)
+    # classification_single labels are per-transaction
+    single = json.load(open(out / "classification_data_single" / "train.json"))
+    assert len(single) > 0
+    pre_train = json.load(open(out / "pretrain_data" / "train.json"))
+    pre_dev = json.load(open(out / "pretrain_data" / "dev.json"))
+    assert len(pre_train) > len(pre_dev) > 0
+
+
+def test_kmeans_separates_blobs():
+    rng = np.random.default_rng(0)
+    blobs = np.concatenate([
+        rng.normal(0, 0.1, (50, 8)),
+        rng.normal(3, 0.1, (50, 8)),
+        rng.normal(-3, 0.1, (50, 8)),
+    ])
+    labels, centers, inertia = kmeans(blobs, 3)
+    # each true blob maps to exactly one cluster
+    for lo, hi in ((0, 50), (50, 100), (100, 150)):
+        assert len(np.unique(labels[lo:hi])) == 1
+    assert silhouette_score(blobs, labels) > 0.8
+    sweep = kmeans_sweep(blobs, 2, 6)
+    assert pick_optimal_k(sweep) == 3
+
+
+def test_pca_project():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(100, 16))
+    p = pca_project(x, 2)
+    assert p.shape == (100, 2)
+    # components are orthogonal in projection space
+    c = np.corrcoef(p[:, 0], p[:, 1])[0, 1]
+    assert abs(c) < 0.2
