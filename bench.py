@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--attention", choices=["pallas", "chunked", "dense"], default="pallas")
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     from __graft_entry__ import _synthetic_table
@@ -39,10 +40,10 @@ def main():
     from recformer_tpu.training.steps import TrainState, make_pretrain_step
 
     if args.model == "base":
-        cfg = RecformerConfig.base(attention_impl=args.attention)
+        cfg = RecformerConfig.base(attention_impl=args.attention, remat=args.remat)
         n_items, s_in = 10000, 32
     else:
-        cfg = RecformerConfig.tiny(attention_impl=args.attention)
+        cfg = RecformerConfig.tiny(attention_impl=args.attention, remat=args.remat)
         n_items, s_in = 200, 12
 
     table = _synthetic_table(cfg, n_items)

@@ -94,7 +94,9 @@ def maybe_load_pretrained(params, ckpt_path: Optional[str]):
     from ..training import checkpoint as ckpt
 
     if os.path.isdir(ckpt_path):
-        return ckpt.restore_params(ckpt_path, template=params)
+        # partial-match merge = the reference's strict=False load
+        source = ckpt.restore_params(ckpt_path)
+        return ckpt.merge_params(source, params)
     sd = ckpt.load_torch_checkpoint(ckpt_path)
     params, _, _ = ckpt.import_torch_state_dict(sd, params)
     return params

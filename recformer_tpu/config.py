@@ -84,6 +84,10 @@ class RecformerConfig:
     # Must be a multiple of the attention window and >= the max item token
     # count (1 + max_attr_num * max_attr_length).
     item_seq_len: int = 128
+    # Rematerialize each encoder layer in backward (jax.checkpoint): trades
+    # ~30% more FLOPs for O(num_layers) less activation memory. Worth it for
+    # big batches / long sequences.
+    remat: bool = False
     # Reference parity: the reference's contrastive loss only backprops through
     # the local shard of gathered embeddings (models.py:475-490). JAX's
     # all_gather is natively differentiable; 'full' uses that (better

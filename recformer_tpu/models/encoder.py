@@ -115,8 +115,11 @@ class LongformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, hidden, mask, deterministic=True):
+        layer_cls = EncoderLayer
+        if self.config.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
         for i, window in enumerate(self.config.attention_window):
-            hidden = EncoderLayer(self.config, window, name=f"layer_{i}")(
+            hidden = layer_cls(self.config, window, name=f"layer_{i}")(
                 hidden, mask, deterministic
             )
         return hidden

@@ -60,15 +60,26 @@ def global_prefix_indices(mask: jnp.ndarray, max_globals: int):
     return idx, valid
 
 
-def _global_rows(q_g, k_g, v_g, mask, scale, dtype):
-    """Full-attention output for global query rows: (B, L, H, D) where only
-    rows with mask==2 are meaningful."""
+def _global_rows(q_g, k_g, v_g, mask, scale, dtype, max_globals: int = 1):
+    """Full-attention output for global query rows, computed ONLY at the
+    (at most ``max_globals``) global positions and scattered back: returns
+    (B, L, H, D) where rows with mask==2 hold the global-attention output and
+    every other row is zero. Avoids the O(L^2) score matrix a naive
+    compute-all-rows version would materialize."""
+    B, L, H, D = q_g.shape
     is_pad = mask == 0
-    scores = jnp.einsum("blhd,bmhd->bhlm", q_g * scale, k_g, preferred_element_type=jnp.float32)
+    gidx, gvalid = global_prefix_indices(mask, max_globals)  # (B, G)
+    qg_sel = jnp.take_along_axis(q_g, gidx[:, :, None, None], axis=1)  # (B, G, H, D)
+    scores = jnp.einsum(
+        "bghd,bmhd->bhgm", qg_sel * scale, k_g, preferred_element_type=jnp.float32
+    )  # (B, H, G, L)
     scores = jnp.where(is_pad[:, None, None, :], NEG_INF, scores)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(dtype), v_g)
-    return out
+    out_g = jnp.einsum("bhgm,bmhd->bghd", probs.astype(dtype), v_g)  # (B, G, H, D)
+    out_g = jnp.where(gvalid[:, :, None, None], out_g, 0.0)
+    out = jnp.zeros((B, L, H, D), dtype)
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], gidx.shape)
+    return out.at[b_idx, gidx].add(out_g)
 
 
 def dense_attention(
@@ -101,7 +112,13 @@ def dense_attention(
     probs = jnp.where(any_key[:, None, :, None], probs, 0.0)
     out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(q.dtype), v)
 
-    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype)
+    # oracle path: compute global rows for EVERY position (O(L^2), exact for
+    # any number of globals), then select
+    g_scores = jnp.einsum("blhd,bmhd->bhlm", q_g * scale, k_g,
+                          preferred_element_type=jnp.float32)
+    g_scores = jnp.where(is_pad[:, None, None, :], NEG_INF, g_scores)
+    g_probs = jax.nn.softmax(g_scores.astype(jnp.float32), axis=-1)
+    g_out = jnp.einsum("bhlm,bmhd->blhd", g_probs.astype(q.dtype), v_g)
     out = jnp.where(is_global[:, :, None, None], g_out, out)
     out = jnp.where(is_pad[:, :, None, None], 0.0, out)
     return out
@@ -183,7 +200,7 @@ def chunked_attention(
     out = out.reshape(B, L, H, D)
 
     # --- global query rows + padding ----------------------------------
-    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype)
+    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals)
     out = jnp.where(is_global[:, :, None, None], g_out, out)
     out = jnp.where(is_pad[:, :, None, None], 0.0, out)
     return out

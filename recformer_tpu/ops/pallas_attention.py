@@ -330,7 +330,7 @@ def pallas_window_attention(
     out = out3.reshape(B, H, L, D).transpose(0, 2, 1, 3).astype(q.dtype)
 
     # global query rows (dedicated projections) + padding zeroing
-    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype)
+    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals)
     out = jnp.where(is_global[:, :, None, None], g_out, out)
     out = jnp.where(is_pad[:, :, None, None], 0.0, out)
     return out

@@ -177,6 +177,64 @@ def import_torch_state_dict(
     return (new_tree if bare else {**params, "params": new_tree}), copied, skipped
 
 
+def merge_params(source, template, verbose: bool = True):
+    """Flax-side ``strict=False`` load: copy every path+shape match from
+    ``source`` into ``template`` (both ``{'params': ...}`` or bare trees),
+    leaving everything else at the template's values — the analog of the
+    reference's head-mismatched ``load_state_dict(..., strict=False)``
+    (``/root/reference/finetune.py:269``). Returns the merged tree."""
+    src = source.get("params", source) if isinstance(source, dict) else source
+    bare = "params" not in template
+    tmpl = template if bare else template["params"]
+    flat_src = _flatten(jax.tree.map(np.asarray, src))
+    flat_tmpl = _flatten(jax.tree.map(np.asarray, tmpl))
+    copied = skipped = 0
+    for path, arr in flat_src.items():
+        if path in flat_tmpl and flat_tmpl[path].shape == arr.shape:
+            flat_tmpl[path] = arr.astype(flat_tmpl[path].dtype)
+            copied += 1
+        else:
+            skipped += 1
+    if verbose:
+        print(f"[merge] copied {copied} params, skipped {skipped}")
+    merged = _unflatten(flat_tmpl)
+    return merged if bare else {**template, "params": merged}
+
+
+def save_train_state(path: str, state) -> None:
+    """Persist params + optimizer state + step for exact resume."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "params": jax.tree.map(np.asarray, state.params),
+        "opt_state": jax.tree.map(np.asarray, state.opt_state),
+        "step": np.asarray(state.step),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_train_state(path: str, state):
+    """Restore a TrainState previously saved with :func:`save_train_state`."""
+    import orbax.checkpoint as ocp
+
+    template = {
+        "params": jax.tree.map(np.asarray, state.params),
+        "opt_state": jax.tree.map(np.asarray, state.opt_state),
+        "step": np.asarray(state.step),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(os.path.abspath(path), template)
+    return state.replace(
+        params=payload["params"],
+        opt_state=jax.tree.unflatten(
+            jax.tree.structure(state.opt_state), jax.tree.leaves(payload["opt_state"])
+        ),
+        step=int(payload["step"]),
+    )
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Load a torch ``.bin`` checkpoint to numpy on CPU (no CUDA)."""
     import torch

@@ -133,3 +133,58 @@ def test_import_into_seqrec_subset(cfg):
         flat[("longformer", "embeddings", "word_embeddings", "embedding")],
         sd["longformer.embeddings.word_embeddings.weight"].astype(np.float32),
     )
+
+
+def test_merge_params_partial(cfg, params):
+    """merge_params = flax strict=False: shared subtree transfers, heads stay."""
+    from recformer_tpu.training.checkpoint import merge_params
+
+    model = RecformerForSeqRec(cfg)
+    import jax.numpy as jnp
+
+    batch = {
+        k: jnp.zeros((1, cfg.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    sr_params = model.init(jax.random.PRNGKey(7), batch)
+    merged = merge_params(params, sr_params, verbose=False)
+    a = _flatten(jax.tree.map(np.asarray, merged["params"]))
+    b = _flatten(jax.tree.map(np.asarray, params["params"]))
+    key = ("longformer", "embeddings", "word_embeddings", "embedding")
+    np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_train_state_roundtrip(tmp_path, cfg, params):
+    from recformer_tpu.training.checkpoint import restore_train_state, save_train_state
+    from recformer_tpu.training.optimizer import create_optimizer
+    from recformer_tpu.training.steps import TrainState
+
+    tx = create_optimizer(total_steps=10)
+    state = TrainState.create(apply_fn=lambda *a: None, params=params, tx=tx)
+    state = state.replace(step=5)
+    path = str(tmp_path / "state")
+    save_train_state(path, state)
+    fresh = TrainState.create(apply_fn=lambda *a: None, params=jax.tree.map(
+        lambda x: np.zeros_like(x), params), tx=tx)
+    restored = restore_train_state(path, fresh)
+    assert int(restored.step) == 5
+    a = _flatten(jax.tree.map(np.asarray, restored.params))
+    b = _flatten(jax.tree.map(np.asarray, params))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_convert_ckpt_driver(tmp_path, cfg, params):
+    from recformer_tpu.cli.convert_ckpt import main
+    from recformer_tpu.training.checkpoint import restore_params, save_params
+
+    src = str(tmp_path / "src")
+    save_params(src, params)
+    out = str(tmp_path / "out")
+    cfg_path = str(tmp_path / "config.json")
+    cfg.save(cfg_path)
+    main(["--pretrain_ckpt", src, "--output_dir", out, "--config", cfg_path])
+    for name in ("recformer", "seqrec", "fraud"):
+        restored = restore_params(f"{out}/{name}")
+        assert "params" in restored
