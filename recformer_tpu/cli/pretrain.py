@@ -25,7 +25,7 @@ import numpy as np
 from ..data.datasets import SequenceDataset
 from ..models.heads import RecformerForPretraining
 from ..parallel.mesh import make_mesh
-from ..training.checkpoint import save_params
+from ..training.checkpoint import restore_train_state, save_params, save_train_state
 from ..training.metrics import AverageMeterSet
 from ..training.optimizer import create_optimizer
 from ..training.steps import TrainState, make_pretrain_eval_step, make_pretrain_step
@@ -63,6 +63,10 @@ def parse_args(argv=None):
     p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
     p.add_argument("--fix_word_embedding", action="store_true")
     p.add_argument("--valid_step_interval", type=int, default=2000)
+    p.add_argument("--resume", action="store_true",
+                   help="resume params+optimizer+step from output_dir/state")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of steps 10-15 here")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -122,6 +126,10 @@ def main(argv=None):
         tx = optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()}, label_fn)
 
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    state_dir = os.path.join(args.output_dir, "state")
+    if args.resume and os.path.isdir(state_dir):
+        state = restore_train_state(state_dir, state)
+        print(f"[pretrain] resumed at step {int(state.step)}")
     step = make_pretrain_step(config, model, mesh=mesh)
     eval_step = make_pretrain_eval_step(config, model, mesh=mesh)
 
@@ -136,10 +144,19 @@ def main(argv=None):
         for epoch in range(args.num_train_epochs):
             for batch in train_ds.batches(global_batch, shuffle=True, seed=epoch,
                                           drop_last=True):
+                if args.profile_dir and global_step == 10:
+                    import jax.profiler
+
+                    jax.profiler.start_trace(args.profile_dir)
                 state, metrics = step(state, rng, table,
                                       jnp.asarray(batch.item_ids),
                                       jnp.asarray(batch.seq_lens))
                 global_step += 1
+                if args.profile_dir and global_step == 15:
+                    jax.block_until_ready(metrics)
+                    import jax.profiler
+
+                    jax.profiler.stop_trace()
                 if global_step % 50 == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     rate = global_batch * 50 / (time.time() - t0)
@@ -158,6 +175,7 @@ def main(argv=None):
                 best_acc = acc
                 save_params(os.path.join(args.output_dir, "best"), state.params)
             save_params(os.path.join(args.output_dir, "last"), state.params)
+            save_train_state(state_dir, state)
     config.save(os.path.join(args.output_dir, "config.json"))
     print(f"[pretrain] done; best dev accuracy {best_acc:.4f}")
 

@@ -101,10 +101,73 @@ def make_pretrain_step(config: RecformerConfig, model, axis_name: Optional[str] 
         )
         return state.apply_gradients(grads=grads), metrics
 
+    if mesh is not None and config.contrastive_gradient == "local":
+        return _local_grad_pretrain_step(config, model, mesh)
+
     rep, data, _ = _shardings(mesh)
     return _jit(step, mesh,
                 in_shardings=(rep, rep, rep, data, data),
                 out_shardings=(rep, rep))
+
+
+def _local_grad_pretrain_step(config: RecformerConfig, model, mesh: Mesh):
+    """Reference-parity contrastive gradients: the all-gathered remote
+    embeddings are stop-gradded and only the local shard's rows carry grads
+    (``models.py:475-490``), with DDP-style gradient averaging (pmean). Built
+    on shard_map so the gather/psum pattern is explicit."""
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    axis = DATA_AXIS
+
+    def loss_fn(params, rng, batch_a, batch_b):
+        out = model.apply(params, batch_a, batch_b, deterministic=False,
+                          rngs={"dropout": rng})
+        cl_loss, correct, total = losses.info_nce_loss(
+            out.z1, out.z2, config.temp, axis_name=axis, grad_mode="local"
+        )
+        loss = cl_loss
+        if out.mlm_logits_a is not None:
+            loss = loss + config.mlm_weight * losses.mlm_loss(
+                out.mlm_logits_a, batch_a["mlm_labels"])
+        if out.mlm_logits_b is not None:
+            loss = loss + config.mlm_weight * losses.mlm_loss(
+                out.mlm_logits_b, batch_b["mlm_labels"])
+        # the similarity matrix is over the GATHERED batch, so correct/total
+        # are already global and identical on every shard — no psum
+        return loss, {"loss": loss, "cl_loss": cl_loss, "cl_correct": correct,
+                      "cl_total": total,
+                      "accuracy": correct / jnp.maximum(total, 1e-5)}
+
+    def shard_fn(params, rng, step_idx, table, item_ids, seq_lens):
+        rng = jax.random.fold_in(rng, step_idx)
+        # distinct data RNG per shard (hosts sample independent pairs/masks)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+        rng_data, rng_drop = jax.random.split(rng)
+        batch_a, batch_b = make_pretrain_batch(rng_data, table, item_ids, seq_lens, config)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, rng_drop, batch_a, batch_b
+        )
+        grads = jax.lax.pmean(grads, axis)  # DDP-average
+        metrics = {k: jax.lax.pmean(v, axis) if k not in ("cl_correct", "cl_total")
+                   else v for k, v in metrics.items()}
+        return grads, metrics
+
+    P_ = P
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P_(), P_(), P_(), P_(), P_(DATA_AXIS), P_(DATA_AXIS)),
+        out_specs=(P_(), P_()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: TrainState, rng, table, item_ids, seq_lens):
+        grads, metrics = sharded(state.params, rng, state.step, table,
+                                 item_ids, seq_lens)
+        return state.apply_gradients(grads=grads), metrics
+
+    return step
 
 
 def make_pretrain_eval_step(config: RecformerConfig, model, mesh: Optional[Mesh] = None):
