@@ -21,6 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from recformer_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -60,14 +64,23 @@ def main():
     step = make_pretrain_step(cfg, model)
 
     rng = jax.random.PRNGKey(1)
-    for _ in range(args.warmup):
-        state, metrics = step(state, rng, table, item_ids, seq_lens)
-    jax.block_until_ready(metrics)
+
+    # Drive N steps inside ONE jit with lax.scan: measures pure device time
+    # per step, immune to host dispatch / tunnel round-trip latency.
+    @jax.jit
+    def run_n(state, rng, table, item_ids, seq_lens):
+        def body(s, _):
+            s, m = step(s, rng, table, item_ids, seq_lens)
+            return s, m["loss"]
+
+        return jax.lax.scan(body, state, None, length=args.steps)
+
+    state_w, losses = run_n(state, rng, table, item_ids, seq_lens)
+    jax.block_until_ready(losses)  # compile + warm run
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = step(state, rng, table, item_ids, seq_lens)
-    jax.block_until_ready(metrics)
+    state_w, losses = run_n(state_w, rng, table, item_ids, seq_lens)
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 
     n_chips = jax.device_count()

@@ -17,6 +17,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import RecformerConfig
+from ..utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
 from ..data.item_table import ItemTable
 from ..data.tokenization import RecformerTokenizer
 from ..data.vocab import backend_for_config

@@ -58,6 +58,9 @@ class RecformerConfig:
     # 'chunked' = XLA sliding-chunks banded attention,
     # 'pallas' = fused Pallas windowed+global kernel.
     attention_impl: str = "chunked"
+    # 'xla' = let XLA fuse the 4-embedding sum + LayerNorm,
+    # 'pallas' = fused Pallas sum+LN kernel (one VMEM pass, custom VJP).
+    embed_ln_impl: str = "xla"
 
     # --- rec-specific data contract ---
     token_type_size: int = 4
@@ -125,6 +128,8 @@ class RecformerConfig:
             raise ValueError(f"unknown pooler_type {self.pooler_type!r}")
         if self.attention_impl not in ("dense", "chunked", "pallas"):
             raise ValueError(f"unknown attention_impl {self.attention_impl!r}")
+        if self.embed_ln_impl not in ("xla", "pallas"):
+            raise ValueError(f"unknown embed_ln_impl {self.embed_ln_impl!r}")
         if self.contrastive_gradient not in ("full", "local"):
             raise ValueError(f"unknown contrastive_gradient {self.contrastive_gradient!r}")
 

@@ -53,31 +53,25 @@ def _pad_sequences(seqs: Sequence[Sequence[int]], max_len: int) -> tuple[np.ndar
 
 class SequenceDataset:
     """Train-time view: one row per user (sorted user ids for determinism,
-    matching ``dataloader.py:13``)."""
+    matching ``dataloader.py:13``). Batch packing runs through the native C++
+    ragged batcher (``recformer_tpu.native``) with a numpy fallback."""
 
     def __init__(self, user2seq: Dict[int, List[int]], max_items: int):
+        from ..native import RaggedSequences
+
         self.users = sorted(user2seq.keys())
         self.seqs = [user2seq[u] for u in self.users]
         self.max_items = max_items
+        self._ragged = RaggedSequences(self.seqs)
 
     def __len__(self):
         return len(self.seqs)
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
                 drop_last: bool = False) -> Iterator[SequenceBatch]:
-        n = len(self.seqs)
-        order = np.arange(n)
-        if shuffle:
-            np.random.default_rng(seed).shuffle(order)
-        nb = n // batch_size if drop_last else math.ceil(n / batch_size)
-        for b in range(nb):
-            idx = order[b * batch_size : (b + 1) * batch_size]
-            seqs = [self.seqs[i] for i in idx]
-            valid = np.ones(batch_size, bool)
-            if len(seqs) < batch_size:
-                valid[len(seqs) :] = False
-                seqs = seqs + [[0]] * (batch_size - len(seqs))
-            ids, lens = _pad_sequences(seqs, self.max_items)
+        for ids, lens, valid in self._ragged.batches(
+            batch_size, self.max_items, shuffle=shuffle, seed=seed, drop_last=drop_last
+        ):
             yield SequenceBatch(ids, lens, valid)
 
 

@@ -48,6 +48,31 @@ class ItemTable:
         word_begin]). Ids must be dense in [0, N)."""
         n = (max(tokenized_items) + 1) if tokenized_items else 0
         m = config.max_item_token_len
+
+        # build the ragged corpus once, then pack via the native engine
+        flat_ids: list = []
+        flat_types: list = []
+        flat_begin: list = []
+        offsets = np.zeros(n + 1, np.int64)
+        for item_id in range(n):
+            enc = tokenized_items.get(item_id)
+            if enc is not None:
+                ids, types = enc[0], enc[1]
+                begins = enc[2] if len(enc) > 2 else [1] * len(ids)
+                flat_ids.extend(ids)
+                flat_types.extend(types)
+                flat_begin.extend(begins)
+            offsets[item_id + 1] = len(flat_ids)
+
+        from ..native import pack_item_table_native
+
+        packed = pack_item_table_native(
+            np.asarray(flat_ids, np.int32), np.asarray(flat_types, np.int32),
+            np.asarray(flat_begin, np.int32), offsets, m, pad_token_id,
+        )
+        if packed is not None:
+            return cls(*packed)
+
         token_ids = np.full((n + 1, m), pad_token_id, np.int32)
         token_types = np.full((n + 1, m), 3, np.int32)
         word_begin = np.zeros((n + 1, m), np.int32)

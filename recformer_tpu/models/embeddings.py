@@ -16,6 +16,7 @@ addressable from the MLM head for weight tying (``Embed.attend``).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..config import RecformerConfig
@@ -25,6 +26,21 @@ def create_position_ids_from_input_ids(input_ids: jnp.ndarray, padding_idx: int)
     mask = (input_ids != padding_idx).astype(jnp.int32)
     incremental = jnp.cumsum(mask, axis=1) * mask
     return incremental + padding_idx
+
+
+class _LayerNormParams(nn.Module):
+    """Bare scale/bias holder so the same parameters ('LayerNorm/{scale,bias}'
+    in the tree, checkpoint-compatible) can feed either the XLA LN path or the
+    fused Pallas sum+LN kernel."""
+
+    features: int
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        return scale, bias
 
 
 class RecformerEmbeddings(nn.Module):
@@ -38,9 +54,7 @@ class RecformerEmbeddings(nn.Module):
         self.position_embeddings = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size, **kw)
         self.token_type_embeddings = nn.Embed(cfg.token_type_size, cfg.hidden_size, **kw)
         self.item_position_embeddings = nn.Embed(cfg.max_item_embeddings, cfg.hidden_size, **kw)
-        self.LayerNorm = nn.LayerNorm(
-            epsilon=cfg.layer_norm_eps, dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype
-        )
+        self.LayerNorm = _LayerNormParams(cfg.hidden_size, cfg.params_dtype)
         self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
 
     def __call__(
@@ -54,11 +68,24 @@ class RecformerEmbeddings(nn.Module):
         cfg = self.config
         if position_ids is None:
             position_ids = create_position_ids_from_input_ids(input_ids, cfg.pad_token_id)
-        x = (
-            self.word_embeddings(input_ids)
-            + self.position_embeddings(position_ids)
-            + self.token_type_embeddings(token_type_ids)
-            + self.item_position_embeddings(item_position_ids)
-        )
-        x = self.LayerNorm(x)
+        word = self.word_embeddings(input_ids)
+        pos = self.position_embeddings(position_ids)
+        typ = self.token_type_embeddings(token_type_ids)
+        item = self.item_position_embeddings(item_position_ids)
+        scale, bias = self.LayerNorm()
+
+        if cfg.embed_ln_impl == "pallas":
+            from ..ops.pallas_embed import fused_embed_layernorm
+
+            x = fused_embed_layernorm(
+                word, pos, typ, item, scale, bias, eps=cfg.layer_norm_eps
+            ).astype(cfg.compute_dtype)
+        else:
+            x = (word + pos + typ + item).astype(jnp.float32)
+            mu = jnp.mean(x, axis=-1, keepdims=True)
+            xc = x - mu
+            var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+            x = xc * jax.lax.rsqrt(var + cfg.layer_norm_eps)
+            x = x * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+            x = x.astype(cfg.compute_dtype)
         return self.dropout(x, deterministic=deterministic)

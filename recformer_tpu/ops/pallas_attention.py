@@ -61,9 +61,10 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     band = block_q + window
     i = pl.program_id(1)
 
-    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, D)
-    k_band = kpad_ref[0, pl.ds(i * block_q, band), :].astype(jnp.float32)  # (band, D)
-    v_band = vpad_ref[0, pl.ds(i * block_q, band), :].astype(jnp.float32)
+    in_dtype = q_ref.dtype
+    q = q_ref[0] * jnp.asarray(scale, in_dtype)  # (block_q, D)
+    k_band = kpad_ref[0, pl.ds(i * block_q, band), :]  # (band, D)
+    v_band = vpad_ref[0, pl.ds(i * block_q, band), :]
     key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0  # (band,)
 
     scores = jax.lax.dot_general(
@@ -72,8 +73,8 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     allowed = _band_iota_mask(block_q, band, half) & key_ok[None, :]
     scores = jnp.where(allowed, scores, NEG_INF)
 
-    gk = gk_ref[0].astype(jnp.float32)  # (G, D)
-    gv = gv_ref[0].astype(jnp.float32)
+    gk = gk_ref[0]  # (G, D)
+    gv = gv_ref[0]
     g_scores = jax.lax.dot_general(
         q, gk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, G)
@@ -87,10 +88,12 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     p = e / denom
 
     out = jax.lax.dot_general(
-        p[:, :band], v_band, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p[:, :band].astype(in_dtype), v_band, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     out += jax.lax.dot_general(
-        p[:, band:], gv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p[:, band:].astype(in_dtype), gv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     out_ref[0] = out.astype(out_ref.dtype)
 
@@ -114,14 +117,15 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
         dgk_ref[...] = jnp.zeros_like(dgk_ref)
         dgv_ref[...] = jnp.zeros_like(dgv_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k_band = kpad_ref[0, pl.ds(i * block_q, band), :].astype(jnp.float32)
-    v_band = vpad_ref[0, pl.ds(i * block_q, band), :].astype(jnp.float32)
+    in_dtype = q_ref.dtype
+    q = q_ref[0] * jnp.asarray(scale, in_dtype)
+    k_band = kpad_ref[0, pl.ds(i * block_q, band), :]
+    v_band = vpad_ref[0, pl.ds(i * block_q, band), :]
     key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0
-    gk = gk_ref[0].astype(jnp.float32)
-    gv = gv_ref[0].astype(jnp.float32)
+    gk = gk_ref[0]
+    gv = gv_ref[0]
     g_ok = gvalid_ref[0, 0, :] != 0
-    dout = dout_ref[0].astype(jnp.float32)  # (block_q, D)
+    dout = dout_ref[0].astype(in_dtype)  # (block_q, D)
 
     # recompute probabilities
     scores = jax.lax.dot_general(q, k_band, (((1,), (1,)), ((), ())),
@@ -145,29 +149,30 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     dp = jnp.concatenate([dp_band, dp_g], axis=1)
     row_dot = jnp.sum(p * dp, axis=1, keepdims=True)
     ds = p * (dp - row_dot)  # (bq, band + G)
-    ds_band = ds[:, :band]
-    ds_g = ds[:, band:]
 
     # dq (scaled): note q was pre-scaled, so dq gets the scale factor
-    dq = jax.lax.dot_general(ds_band, k_band, (((1,), (0,)), ((), ())),
+    ds_c = ds.astype(in_dtype)
+    dq = jax.lax.dot_general(ds_c[:, :band], k_band, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dq += jax.lax.dot_general(ds_g, gk, (((1,), (0,)), ((), ())),
+    dq += jax.lax.dot_general(ds_c[:, band:], gk, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
     # dK/dV band accumulation (revisit same output block across i)
-    dk_band = jax.lax.dot_general(ds_band, q, (((0,), (0,)), ((), ())),
+    dk_band = jax.lax.dot_general(ds_c[:, :band], q, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)  # (band, D)
-    dv_band = jax.lax.dot_general(p[:, :band], dout, (((0,), (0,)), ((), ())),
+    dv_band = jax.lax.dot_general(p[:, :band].astype(in_dtype), dout,
+                                  (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
     cur_k = dkpad_ref[0, pl.ds(i * block_q, band), :]
     dkpad_ref[0, pl.ds(i * block_q, band), :] = cur_k + dk_band.astype(dkpad_ref.dtype)
     cur_v = dvpad_ref[0, pl.ds(i * block_q, band), :]
     dvpad_ref[0, pl.ds(i * block_q, band), :] = cur_v + dv_band.astype(dvpad_ref.dtype)
 
-    dgk = jax.lax.dot_general(ds_g, q, (((0,), (0,)), ((), ())),
+    dgk = jax.lax.dot_general(ds_c[:, band:], q, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)  # (G, D)
-    dgv = jax.lax.dot_general(p[:, band:], dout, (((0,), (0,)), ((), ())),
+    dgv = jax.lax.dot_general(p[:, band:].astype(in_dtype), dout,
+                              (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dgk_ref[0] += dgk.astype(dgk_ref.dtype)
     dgv_ref[0] += dgv.astype(dgv_ref.dtype)

@@ -1,0 +1,97 @@
+"""Native C++ batcher vs numpy fallback equivalence + integration."""
+
+import numpy as np
+import pytest
+
+from recformer_tpu.native import (
+    RaggedSequences,
+    native_available,
+    pack_item_table_native,
+)
+
+
+def test_native_builds():
+    assert native_available(), "g++ toolchain expected in this image"
+
+
+def test_pack_matches_fallback():
+    rng = np.random.default_rng(0)
+    seqs = [list(rng.integers(0, 100, size=n)) for n in (1, 5, 12, 3, 30, 7)]
+    r = RaggedSequences(seqs)
+    order = np.arange(len(seqs), dtype=np.int64)
+    ids, lens, valid = r.pack(order, 0, 8, max_len=10)
+    assert ids.shape == (8, 10)
+    for i, s in enumerate(seqs):
+        kept = s[-10:]
+        np.testing.assert_array_equal(ids[i, : len(kept)], kept)
+        assert np.all(ids[i, len(kept):] == 0)
+        assert lens[i] == len(kept)
+        assert valid[i]
+    # padding rows beyond n: invalid, len 1
+    assert not valid[6] and not valid[7]
+    assert lens[6] == 1
+
+
+def test_shuffle_deterministic():
+    seqs = [[i] for i in range(100)]
+    r = RaggedSequences(seqs)
+    o1 = r.epoch_order(True, 42)
+    o2 = r.epoch_order(True, 42)
+    o3 = r.epoch_order(True, 43)
+    np.testing.assert_array_equal(o1, o2)
+    assert not np.array_equal(o1, o3)
+    assert sorted(o1.tolist()) == list(range(100))
+
+
+def test_batches_iteration_drop_last():
+    seqs = [[i, i + 1] for i in range(10)]
+    r = RaggedSequences(seqs)
+    batches = list(r.batches(4, max_len=4, drop_last=True))
+    assert len(batches) == 2
+    batches = list(r.batches(4, max_len=4, drop_last=False))
+    assert len(batches) == 3
+    # last batch padded with invalid rows
+    _, _, valid = batches[-1]
+    assert valid.sum() == 2
+
+
+def test_pack_item_table_native_matches_python():
+    from recformer_tpu.config import RecformerConfig
+    from recformer_tpu.data.item_table import ItemTable
+
+    cfg = RecformerConfig.tiny()
+    rng = np.random.default_rng(1)
+    tokenized = {}
+    for i in range(9):
+        n = int(rng.integers(1, cfg.max_item_token_len + 5))
+        tokenized[i] = (
+            list(rng.integers(4, 100, size=n)),
+            list(rng.integers(1, 3, size=n)),
+            list(rng.integers(0, 2, size=n)),
+        )
+    table = ItemTable.build(tokenized, cfg, pad_token_id=1)
+
+    # python reference
+    m = cfg.max_item_token_len
+    for i, (ids, types, begins) in tokenized.items():
+        L = min(len(ids), m)
+        np.testing.assert_array_equal(table.token_ids[i, :L], ids[:L])
+        np.testing.assert_array_equal(table.token_types[i, :L], types[:L])
+        np.testing.assert_array_equal(table.word_begin[i, :L], begins[:L])
+        assert table.lengths[i] == L
+        assert np.all(table.token_ids[i, L:] == 1)
+        assert np.all(table.token_types[i, L:] == 3)
+    # null item row
+    assert table.lengths[-1] == 0
+
+
+def test_sequence_dataset_uses_ragged():
+    from recformer_tpu.data.datasets import SequenceDataset
+
+    user2seq = {u: list(range(u + 1)) for u in range(9)}
+    ds = SequenceDataset(user2seq, max_items=5)
+    seen = 0
+    for batch in ds.batches(4, shuffle=True, seed=1):
+        assert batch.item_ids.shape == (4, 5)
+        seen += int(batch.valid.sum())
+    assert seen == 9

@@ -60,3 +60,80 @@ def test_pallas_gradients_match_chunked():
     g2 = jax.grad(loss_chunked, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, qg, kg, vg)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_embed_layernorm_matches_reference():
+    from recformer_tpu.ops.pallas_embed import fused_embed_layernorm
+
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 6)
+    B, L, H = 2, 32, 16
+    a, b, c, d = (jax.random.normal(ks[i], (B, L, H), jnp.float32) for i in range(4))
+    gamma = jax.random.normal(ks[4], (H,)) * 0.1 + 1.0
+    beta = jax.random.normal(ks[5], (H,)) * 0.1
+    eps = 1e-5
+
+    out = fused_embed_layernorm(a, b, c, d, gamma, beta, eps=eps, interpret=INTERPRET)
+    x = a + b + c + d
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    ref = (x - mu) / np.sqrt(np.asarray(var) + eps) * gamma + beta
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_embed_layernorm_gradients():
+    from recformer_tpu.ops.pallas_embed import fused_embed_layernorm
+
+    rng = jax.random.PRNGKey(1)
+    ks = jax.random.split(rng, 6)
+    B, L, H = 2, 16, 8
+    a, b, c, d = (jax.random.normal(ks[i], (B, L, H), jnp.float32) for i in range(4))
+    gamma = jax.random.normal(ks[4], (H,)) * 0.1 + 1.0
+    beta = jax.random.normal(ks[5], (H,)) * 0.1
+
+    def loss_fused(a, b, c, d, gamma, beta):
+        o = fused_embed_layernorm(a, b, c, d, gamma, beta, interpret=INTERPRET)
+        return jnp.sum(o * jnp.sin(o))
+
+    def loss_ref(a, b, c, d, gamma, beta):
+        x = a + b + c + d
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        o = (x - mu) * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+        return jnp.sum(o * jnp.sin(o))
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(6)))(a, b, c, d, gamma, beta)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(6)))(a, b, c, d, gamma, beta)
+    for x, y in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5)
+
+
+def test_backbone_with_pallas_embed_matches_xla():
+    from recformer_tpu.config import RecformerConfig
+    from recformer_tpu.models.recformer import RecformerModel
+
+    if INTERPRET:
+        cfgp = RecformerConfig.tiny(embed_ln_impl="xla", dtype="float32",
+                                    hidden_dropout_prob=0.0)
+        # interpret-mode flag isn't plumbed through the model; compare the
+        # xla path against itself on CPU and rely on the kernel tests above.
+        # On TPU this test runs the real fused kernel.
+        cfg2 = cfgp
+    else:
+        cfgp = RecformerConfig.tiny(embed_ln_impl="pallas", dtype="float32",
+                                    hidden_dropout_prob=0.0)
+        cfg2 = cfgp.replace(embed_ln_impl="xla")
+    model_a = RecformerModel(cfg2)
+    model_b = RecformerModel(cfgp)
+    B, L = 2, cfg2.max_token_num
+    batch = {
+        k: jnp.zeros((B, L), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    batch["attention_mask"] = batch["attention_mask"].at[:, :40].set(1)
+    batch["global_attention_mask"] = batch["global_attention_mask"].at[:, 0].set(1)
+    params = model_a.init(jax.random.PRNGKey(0), **batch)
+    h1, p1 = model_a.apply(params, **batch)
+    h2, p2 = model_b.apply(params, **batch)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-4)
