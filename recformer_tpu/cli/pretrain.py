@@ -30,6 +30,7 @@ from ..training.metrics import AverageMeterSet
 from ..training.optimizer import create_optimizer
 from ..training.steps import TrainState, make_pretrain_eval_step, make_pretrain_step
 from ..utils.io import read_json
+from ..utils.logging import MetricsLogger
 from .common import (
     build_config,
     init_model_params,
@@ -67,6 +68,8 @@ def parse_args(argv=None):
                    help="resume params+optimizer+step from output_dir/state")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of steps 10-15 here")
+    p.add_argument("--log_dir", type=str, default=None,
+                   help="JSONL (+TensorBoard if available) metrics directory")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -136,6 +139,7 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     best_acc = -1.0
     os.makedirs(args.output_dir, exist_ok=True)
+    logger = MetricsLogger(args.log_dir or os.path.join(args.output_dir, "logs"))
     meters = AverageMeterSet()
     global_step = 0
     t0 = time.time()
@@ -161,10 +165,13 @@ def main(argv=None):
                     m = {k: float(v) for k, v in metrics.items()}
                     rate = global_batch * 50 / (time.time() - t0)
                     t0 = time.time()
+                    m["examples_per_sec"] = rate
+                    logger.log(global_step, m)
                     print(f"[pretrain] step {global_step} loss {m['loss']:.4f} "
                           f"acc {m['accuracy']:.4f} ({rate:.1f} ex/s)")
                 if global_step % args.valid_step_interval == 0:
                     acc = _validate(eval_step, state, rng, table, dev_ds, global_batch)
+                    logger.log(global_step, {"dev_accuracy": acc})
                     print(f"[pretrain] dev accuracy {acc:.4f}")
                     if acc > best_acc:
                         best_acc = acc

@@ -73,10 +73,11 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     allowed = _band_iota_mask(block_q, band, half) & key_ok[None, :]
     scores = jnp.where(allowed, scores, NEG_INF)
 
-    gk = gk_ref[0]  # (G, D)
-    gv = gv_ref[0]
+    gk = gk_ref[0].astype(jnp.float32)  # (G, D)
+    gv = gv_ref[0].astype(jnp.float32)
     g_scores = jax.lax.dot_general(
-        q, gk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q.astype(jnp.float32), gk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # (block_q, G)
     g_ok = gvalid_ref[0, 0, :] != 0
     g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
@@ -92,7 +93,7 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
         preferred_element_type=jnp.float32,
     )
     out += jax.lax.dot_general(
-        p[:, band:].astype(in_dtype), gv, (((1,), (0,)), ((), ())),
+        p[:, band:], gv, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     out_ref[0] = out.astype(out_ref.dtype)
@@ -122,8 +123,8 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     k_band = kpad_ref[0, pl.ds(i * block_q, band), :]
     v_band = vpad_ref[0, pl.ds(i * block_q, band), :]
     key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0
-    gk = gk_ref[0]
-    gv = gv_ref[0]
+    gk = gk_ref[0].astype(jnp.float32)
+    gv = gv_ref[0].astype(jnp.float32)
     g_ok = gvalid_ref[0, 0, :] != 0
     dout = dout_ref[0].astype(in_dtype)  # (block_q, D)
 
@@ -132,7 +133,7 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
                                  preferred_element_type=jnp.float32)
     allowed = _band_iota_mask(block_q, band, half) & key_ok[None, :]
     scores = jnp.where(allowed, scores, NEG_INF)
-    g_scores = jax.lax.dot_general(q, gk, (((1,), (1,)), ((), ())),
+    g_scores = jax.lax.dot_general(q.astype(jnp.float32), gk, (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
     g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
     all_scores = jnp.concatenate([scores, g_scores], axis=1)
@@ -144,7 +145,7 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     # softmax backward
     dp_band = jax.lax.dot_general(dout, v_band, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)  # (bq, band)
-    dp_g = jax.lax.dot_general(dout, gv, (((1,), (1,)), ((), ())),
+    dp_g = jax.lax.dot_general(dout.astype(jnp.float32), gv, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)  # (bq, G)
     dp = jnp.concatenate([dp_band, dp_g], axis=1)
     row_dot = jnp.sum(p * dp, axis=1, keepdims=True)
@@ -154,7 +155,7 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     ds_c = ds.astype(in_dtype)
     dq = jax.lax.dot_general(ds_c[:, :band], k_band, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    dq += jax.lax.dot_general(ds_c[:, band:], gk, (((1,), (0,)), ((), ())),
+    dq += jax.lax.dot_general(ds[:, band:], gk, (((1,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
@@ -169,9 +170,10 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     cur_v = dvpad_ref[0, pl.ds(i * block_q, band), :]
     dvpad_ref[0, pl.ds(i * block_q, band), :] = cur_v + dv_band.astype(dvpad_ref.dtype)
 
-    dgk = jax.lax.dot_general(ds_c[:, band:], q, (((0,), (0,)), ((), ())),
+    dgk = jax.lax.dot_general(ds[:, band:], q.astype(jnp.float32),
+                              (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)  # (G, D)
-    dgv = jax.lax.dot_general(p[:, band:].astype(in_dtype), dout,
+    dgv = jax.lax.dot_general(p[:, band:], dout.astype(jnp.float32),
                               (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
     dgk_ref[0] += dgk.astype(dgk_ref.dtype)
