@@ -57,6 +57,7 @@ def parse_args(argv=None):
     p.add_argument("--warmup_steps", type=int, default=100)
     p.add_argument("--verbose", type=int, default=3)
     p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--steps_per_call", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -96,6 +97,7 @@ def main(argv=None):
         num_epochs=args.num_train_epochs, batch_size=args.batch_size,
         eval_batch_size=args.eval_batch_size, encode_batch_size=args.encode_batch_size,
         verbose=args.verbose, rng=jax.random.PRNGKey(args.seed),
+        steps_per_call=args.steps_per_call,
     )
     print(f"Test set: {test_metrics}")
 

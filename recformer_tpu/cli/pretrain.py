@@ -28,7 +28,12 @@ from ..parallel.mesh import make_mesh
 from ..training.checkpoint import restore_train_state, save_params, save_train_state
 from ..training.metrics import AverageMeterSet
 from ..training.optimizer import create_optimizer
-from ..training.steps import TrainState, make_pretrain_eval_step, make_pretrain_step
+from ..training.steps import (
+    TrainState,
+    make_multi_step,
+    make_pretrain_eval_step,
+    make_pretrain_step,
+)
 from ..utils.io import read_json
 from ..utils.logging import MetricsLogger
 from .common import (
@@ -68,6 +73,9 @@ def parse_args(argv=None):
                    help="resume params+optimizer+step from output_dir/state")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax.profiler trace of steps 10-15 here")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="scan this many steps inside one device launch "
+                        "(amortizes host dispatch; metrics print per call)")
     p.add_argument("--log_dir", type=str, default=None,
                    help="JSONL (+TensorBoard if available) metrics directory")
     p.add_argument("--seed", type=int, default=42)
@@ -134,6 +142,7 @@ def main(argv=None):
         state = restore_train_state(state_dir, state)
         print(f"[pretrain] resumed at step {int(state.step)}")
     step = make_pretrain_step(config, model, mesh=mesh)
+    multi_step = make_multi_step(step, args.steps_per_call) if args.steps_per_call > 1 else None
     eval_step = make_pretrain_eval_step(config, model, mesh=mesh)
 
     rng = jax.random.PRNGKey(args.seed)
@@ -146,17 +155,32 @@ def main(argv=None):
     ctx = mesh if mesh is not None else _nullcontext()
     with ctx:
         for epoch in range(args.num_train_epochs):
+            pending_ids, pending_lens = [], []
             for batch in train_ds.batches(global_batch, shuffle=True, seed=epoch,
                                           drop_last=True):
                 if args.profile_dir and global_step == 10:
                     import jax.profiler
 
                     jax.profiler.start_trace(args.profile_dir)
-                state, metrics = step(state, rng, table,
-                                      jnp.asarray(batch.item_ids),
-                                      jnp.asarray(batch.seq_lens))
-                global_step += 1
-                if args.profile_dir and global_step == 15:
+                if multi_step is not None:
+                    pending_ids.append(batch.item_ids)
+                    pending_lens.append(batch.seq_lens)
+                    if len(pending_ids) < args.steps_per_call:
+                        continue
+                    state, losses = multi_step(
+                        state, rng, table,
+                        jnp.asarray(np.stack(pending_ids)),
+                        jnp.asarray(np.stack(pending_lens)),
+                    )
+                    pending_ids, pending_lens = [], []
+                    metrics = {"loss": losses[-1], "accuracy": jnp.zeros(())}
+                    global_step += args.steps_per_call
+                else:
+                    state, metrics = step(state, rng, table,
+                                          jnp.asarray(batch.item_ids),
+                                          jnp.asarray(batch.seq_lens))
+                    global_step += 1
+                if args.profile_dir and global_step >= 15 and global_step < 15 + args.steps_per_call:
                     jax.block_until_ready(metrics)
                     import jax.profiler
 

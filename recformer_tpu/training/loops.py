@@ -62,8 +62,27 @@ def evaluate_seqrec(params, model, table, dataset: EvalDataset, item_embeddings,
 
 
 def train_seqrec_epoch(state, step_fn, table, dataset: SequenceDataset, item_embeddings,
-                       rng, batch_size: int, epoch: int) -> Tuple[object, float]:
+                       rng, batch_size: int, epoch: int,
+                       multi_step=None, steps_per_call: int = 1) -> Tuple[object, float]:
     meters = AverageMeterSet()
+    if multi_step is not None and steps_per_call > 1:
+        pending_ids, pending_lens = [], []
+        for batch in dataset.batches(batch_size, shuffle=True, seed=epoch, drop_last=True):
+            pending_ids.append(batch.item_ids)
+            pending_lens.append(batch.seq_lens)
+            if len(pending_ids) == steps_per_call:
+                state, losses = multi_step(
+                    state, rng, table,
+                    jnp.asarray(np.stack(pending_ids)),
+                    jnp.asarray(np.stack(pending_lens)), item_embeddings,
+                )
+                meters.update("loss", float(jnp.mean(losses)), n=steps_per_call)
+                pending_ids, pending_lens = [], []
+        for ids, lens in zip(pending_ids, pending_lens):  # tail batches
+            state, metrics = step_fn(state, rng, table, jnp.asarray(ids),
+                                     jnp.asarray(lens), item_embeddings)
+            meters.update("loss", float(metrics["loss"]))
+        return state, meters.averages().get("loss", 0.0)
     for batch in dataset.batches(batch_size, shuffle=True, seed=epoch, drop_last=True):
         state, metrics = step_fn(
             state, rng, table, jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens),
@@ -88,6 +107,7 @@ def finetune_two_stage(
     encode_batch_size: int = 256,
     verbose: int = 3,
     rng: Optional[jax.Array] = None,
+    steps_per_call: int = 1,
     log=print,
 ) -> Tuple[object, Dict[str, float]]:
     """The reference two-stage schedule (``finetune.py:298-353``):
@@ -98,7 +118,11 @@ def finetune_two_stage(
     re-encode), patience 3. Returns (best_state, test_metrics)."""
     rng = rng if rng is not None else jax.random.PRNGKey(42)
     step_fn = make_finetune_step(config, model)
-    backbone = lambda m, batch, deterministic: m(batch, deterministic=deterministic)
+    multi_step = None
+    if steps_per_call > 1:
+        from .steps import make_multi_step
+
+        multi_step = make_multi_step(step_fn, steps_per_call)
 
     def encode(params):
         return encode_all_items(params, model, table, config, encode_batch_size)
@@ -111,7 +135,8 @@ def finetune_two_stage(
     for epoch in range(num_epochs):
         item_embeddings = encode(state.params)
         state, loss = train_seqrec_epoch(
-            state, step_fn, table, train_dataset, item_embeddings, rng, batch_size, epoch
+            state, step_fn, table, train_dataset, item_embeddings, rng, batch_size, epoch,
+            multi_step=multi_step, steps_per_call=steps_per_call,
         )
         if (epoch + 1) % verbose == 0:
             dev = evaluate_seqrec(state.params, model, table, val_dataset,
@@ -134,7 +159,7 @@ def finetune_two_stage(
     for epoch in range(num_epochs):
         state, loss = train_seqrec_epoch(
             state, step_fn, table, train_dataset, item_embeddings, rng, batch_size,
-            num_epochs + epoch,
+            num_epochs + epoch, multi_step=multi_step, steps_per_call=steps_per_call,
         )
         if (epoch + 1) % verbose == 0:
             dev = evaluate_seqrec(state.params, model, table, val_dataset,

@@ -170,6 +170,26 @@ def _local_grad_pretrain_step(config: RecformerConfig, model, mesh: Mesh):
     return step
 
 
+def make_multi_step(step_fn, n_steps: int, metric_key: str = "loss"):
+    """Wrap a train step into a device-side ``lax.scan`` over ``n_steps``
+    pre-staged batches: step(state, rng, table, stacked_item_ids (n, B, S),
+    stacked_seq_lens (n, B), *extras) -> (state, metric trace (n,)).
+
+    Amortizes host->device dispatch (one launch per n steps) — the TPU-native
+    replacement for the reference's per-batch Python training loop."""
+
+    @jax.jit
+    def run(state, rng, table, item_ids_stack, seq_lens_stack, *extras):
+        def body(s, xs):
+            ids, lens = xs
+            s, m = step_fn(s, rng, table, ids, lens, *extras)
+            return s, m[metric_key]
+
+        return jax.lax.scan(body, state, (item_ids_stack, seq_lens_stack))
+
+    return run
+
+
 def make_pretrain_eval_step(config: RecformerConfig, model, mesh: Optional[Mesh] = None):
     """Validation step: deterministic forward, contrastive accuracy + loss
     (reference ``litmodels.py:30-40``)."""

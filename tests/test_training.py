@@ -209,3 +209,40 @@ def test_roc_auc_known_values():
     assert roc_auc(probs, labels2) == 0.0
     # ties -> 0.5
     assert roc_auc(np.full(6, 0.5), labels) == 0.5
+
+
+def test_multi_step_matches_sequential(world):
+    """A scanned k-step call must equal k sequential step calls."""
+    from recformer_tpu.training.steps import make_finetune_step, make_multi_step
+
+    cfg, table, user2train, *_ = world
+    cfg = cfg.replace(dtype="float32", hidden_dropout_prob=0.0)
+    model = RecformerForSeqRec(cfg)
+    dummy = {
+        k: jnp.zeros((1, cfg.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    tx = create_optimizer(learning_rate=1e-3, warmup_steps=1, total_steps=100)
+    item_emb = jax.random.normal(jax.random.PRNGKey(1), (20, cfg.hidden_size))
+
+    ds = SequenceDataset(user2train, max_items=16)
+    batches = list(ds.batches(8, drop_last=True))[:2]
+    step = make_finetune_step(cfg, model)
+    multi = make_multi_step(step, 2)
+    rng = jax.random.PRNGKey(2)
+
+    s1 = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    losses_seq = []
+    for b in batches:
+        s1, m = step(s1, rng, table, jnp.asarray(b.item_ids), jnp.asarray(b.seq_lens), item_emb)
+        losses_seq.append(float(m["loss"]))
+
+    s2 = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    ids = jnp.asarray(np.stack([b.item_ids for b in batches]))
+    lens = jnp.asarray(np.stack([b.seq_lens for b in batches]))
+    s2, losses = multi(s2, rng, table, ids, lens, item_emb)
+    np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
