@@ -133,6 +133,21 @@ def pca_project(embeddings: np.ndarray, dims: int = 2) -> np.ndarray:
     return (x @ vt[:dims].T).astype(np.float32)
 
 
+def cluster_description_prompt(cluster_id: int, item_titles: list, stats: Dict) -> str:
+    """Build the natural-language cluster-description prompt (the reference
+    optionally sends this to GPT-4, ``cluster.py:290-394`` — the call site is
+    commented out there; here the prompt builder is provided and any LLM call
+    is left to the caller)."""
+    sample = "\n".join(f"- {t}" for t in item_titles[:20])
+    return (
+        f"You are analyzing clusters of users from a sequential recommendation "
+        f"model.\nCluster {cluster_id} contains {stats.get('size', '?')} users "
+        f"({100 * stats.get('fraction', 0):.1f}% of the population).\n"
+        f"Representative items interacted with by this cluster:\n{sample}\n\n"
+        f"Describe in 2-3 sentences what characterizes this user cluster."
+    )
+
+
 def cluster_stats(labels: np.ndarray, extra: Optional[Dict[str, np.ndarray]] = None) -> Dict:
     """Per-cluster sizes plus means of any extra per-point arrays (e.g. a
     fraud-label overlay — ``cluster.py:609-635``)."""

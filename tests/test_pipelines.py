@@ -177,3 +177,10 @@ def test_pca_project():
     # components are orthogonal in projection space
     c = np.corrcoef(p[:, 0], p[:, 1])[0, 1]
     assert abs(c) < 0.2
+
+
+def test_cluster_description_prompt():
+    from recformer_tpu.utils.clustering import cluster_description_prompt
+
+    p = cluster_description_prompt(2, ["Item A", "Item B"], {"size": 10, "fraction": 0.5})
+    assert "Cluster 2" in p and "Item A" in p and "10 users" in p
