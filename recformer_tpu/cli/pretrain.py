@@ -20,6 +20,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import jax.profiler
 import numpy as np
 
 from ..data.datasets import SequenceDataset
@@ -98,6 +99,21 @@ def main(argv=None):
 
     meta = read_json(os.path.join(args.data_path, args.item_attr_file))
     item2id = read_json(os.path.join(args.data_path, args.item2id_file))
+
+    def to_int_ids(seqs):
+        """Accept reference-format sequences of raw item keys (asin strings,
+        ``pretrain_data/interaction_data_process.py:69-82``) as well as dense
+        int ids; unknown items are dropped."""
+        out = []
+        for s in seqs:
+            if s and isinstance(s[0], str):
+                s = [item2id[a] for a in s if a in item2id]
+            if s:
+                out.append(s)
+        return out
+
+    train_seqs = to_int_ids(train_seqs)
+    dev_seqs = to_int_ids(dev_seqs)
     table_np = tokenize_corpus_cached(
         tokenizer, meta, item2id, os.path.join(args.data_path, "preprocess"), "pretrain"
     )
@@ -159,8 +175,6 @@ def main(argv=None):
             for batch in train_ds.batches(global_batch, shuffle=True, seed=epoch,
                                           drop_last=True):
                 if args.profile_dir and global_step == 10:
-                    import jax.profiler
-
                     jax.profiler.start_trace(args.profile_dir)
                 if multi_step is not None:
                     pending_ids.append(batch.item_ids)
@@ -182,8 +196,6 @@ def main(argv=None):
                     global_step += 1
                 if args.profile_dir and global_step >= 15 and global_step < 15 + args.steps_per_call:
                     jax.block_until_ready(metrics)
-                    import jax.profiler
-
                     jax.profiler.stop_trace()
                 if global_step % 50 == 0:
                     m = {k: float(v) for k, v in metrics.items()}

@@ -13,9 +13,11 @@ import os
 from typing import Dict
 
 
-def read_json(path: str, as_int: bool = False) -> Dict:
+def read_json(path: str, as_int: bool = False):
     with open(path) as f:
         raw = json.load(f)
+    if isinstance(raw, list):
+        return raw
     if as_int:
         return {int(k): v for k, v in raw.items()}
     return dict(raw)

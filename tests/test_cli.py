@@ -118,3 +118,46 @@ def test_fraud_driver(artifacts, tmp_path):
         "--eval_batch_size", "8",
     ])
     assert "f1" in metrics and "auc" in metrics
+
+
+def test_pretrain_driver_end_to_end(artifacts, tmp_path):
+    from recformer_tpu.cli.pretrain import main
+    import json
+
+    root = tmp_path / "pretrain_data"
+    os.makedirs(root)
+    rng = np.random.default_rng(2)
+    seqs = [[int(x) for x in rng.integers(0, 25, size=rng.integers(3, 8))]
+            for _ in range(24)]
+    write_json(seqs, str(root / "train.json"))
+    write_json(seqs[:8], str(root / "dev.json"))
+    for f in ("meta_data.json", "smap.json"):
+        write_json(json.load(open(artifacts / f)), str(root / f))
+
+    out = tmp_path / "pre_out"
+    main([
+        "--data_path", str(root),
+        "--output_dir", str(out),
+        "--model_size", "tiny",
+        "--num_train_epochs", "1",
+        "--batch_size", "8",
+        "--gradient_accumulation_steps", "1",
+        "--warmup_steps", "2",
+        "--valid_step_interval", "100",
+        "--steps_per_call", "1",
+    ])
+    assert (out / "last").exists()
+    assert (out / "state").exists()
+    assert (out / "config.json").exists()
+    # resume path restores without error
+    main([
+        "--data_path", str(root),
+        "--output_dir", str(out),
+        "--model_size", "tiny",
+        "--num_train_epochs", "1",
+        "--batch_size", "8",
+        "--gradient_accumulation_steps", "1",
+        "--warmup_steps", "2",
+        "--valid_step_interval", "100",
+        "--resume",
+    ])
