@@ -246,3 +246,28 @@ def test_multi_step_matches_sequential(world):
     np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_finetune_full_softmax_path(world):
+    """finetune_negative_sample_size=0 -> full-catalog CE (models.py:589-591)."""
+    from recformer_tpu.training.steps import make_finetune_step
+
+    cfg, table, user2train, *_ = world
+    cfg = cfg.replace(finetune_negative_sample_size=0)
+    model = RecformerForSeqRec(cfg)
+    dummy = {
+        k: jnp.zeros((1, cfg.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    tx = create_optimizer(learning_rate=1e-3, warmup_steps=1, total_steps=10)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_finetune_step(cfg, model)
+    ds = SequenceDataset(user2train, max_items=16)
+    batch = next(ds.batches(8, drop_last=True))
+    item_emb = jax.random.normal(jax.random.PRNGKey(1), (20, cfg.hidden_size))
+    state, metrics = step(state, jax.random.PRNGKey(2), table,
+                          jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens),
+                          item_emb)
+    assert np.isfinite(float(metrics["loss"]))
