@@ -61,6 +61,61 @@ def evaluate_seqrec(params, model, table, dataset: EvalDataset, item_embeddings,
     return {k: v / max(count, 1.0) for k, v in sums.items()}
 
 
+def evaluate_seqrec_sharded(params, model, table, dataset: EvalDataset, item_embeddings,
+                            config: RecformerConfig, mesh, batch_size: int = 32,
+                            ks: Sequence[int] = (10, 50)) -> Dict[str, float]:
+    """Full-catalog eval with a row-sharded catalog: the label's exact rank is
+    computed from per-shard greater-counts + psum (``parallel/catalog.py``),
+    never materializing the global (B, N) score matrix on one device. Metrics
+    match :func:`evaluate_seqrec` exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..data.device_pipeline import assemble_for_config
+    from ..parallel.catalog import make_sharded_rank_fn
+    from ..parallel.mesh import MODEL_AXIS, pad_rows_to_multiple
+
+    n_shards = mesh.shape[MODEL_AXIS]
+    emb_padded, n_items = pad_rows_to_multiple(np.asarray(item_embeddings), n_shards)
+    # Padded rows are zero vectors: cosine score exactly 0. Their phantom
+    # contributions to rank (0 > label_score) and valid_length are subtracted
+    # exactly below.
+    emb_sharded = jax.device_put(
+        jnp.asarray(emb_padded), NamedSharding(mesh, P(MODEL_AXIS, None))
+    )
+    rank_fn = make_sharded_rank_fn(mesh, config.temp)
+
+    sums: Dict[str, float] = {}
+    count = 0.0
+    for batch in dataset.batches(batch_size):
+        b = assemble_for_config(table, jnp.asarray(batch.item_ids),
+                                jnp.asarray(batch.seq_lens), config)
+        pooled = model.apply(params, b, deterministic=True).astype(jnp.float32)
+        rank, valid_len = rank_fn(pooled, emb_sharded, jnp.asarray(batch.labels))
+        # correct for zero-vector padding rows: they produce score exactly 0;
+        # count how many padded rows outrank each label (score 0 > label score)
+        if n_items != emb_padded.shape[0]:
+            n_pad = emb_padded.shape[0] - n_items
+            label_emb = jnp.asarray(emb_padded)[jnp.asarray(batch.labels)]
+            pooled_n = pooled / jnp.maximum(
+                jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-8)
+            le = label_emb / jnp.maximum(
+                jnp.linalg.norm(label_emb, axis=-1, keepdims=True), 1e-8)
+            label_score = jnp.sum(pooled_n * le, axis=-1) / config.temp
+            rank = rank - n_pad * (label_score < 0.0)
+            valid_len = valid_len - n_pad
+        w = jnp.asarray(batch.valid, jnp.float32)
+        for k in ks:
+            ind = (rank < k).astype(jnp.float32)
+            sums[f"NDCG@{k}"] = sums.get(f"NDCG@{k}", 0.0) + float(
+                jnp.sum(w * ind / jnp.log2(rank + 2.0)))
+            sums[f"Recall@{k}"] = sums.get(f"Recall@{k}", 0.0) + float(jnp.sum(w * ind))
+        sums["MRR"] = sums.get("MRR", 0.0) + float(jnp.sum(w / (rank + 1.0)))
+        sums["AUC"] = sums.get("AUC", 0.0) + float(
+            jnp.sum(w * (1.0 - rank / jnp.maximum(valid_len, 1.0))))
+        count += float(jnp.sum(w))
+    return {k: v / max(count, 1.0) for k, v in sums.items()}
+
+
 def train_seqrec_epoch(state, step_fn, table, dataset: SequenceDataset, item_embeddings,
                        rng, batch_size: int, epoch: int,
                        multi_step=None, steps_per_call: int = 1) -> Tuple[object, float]:

@@ -168,3 +168,45 @@ def test_local_grad_pretrain_step():
     a = np.concatenate([np.ravel(x) for x in jax.tree.leaves(state.params)])
     b = np.concatenate([np.ravel(x) for x in jax.tree.leaves(state2.params)])
     assert not np.allclose(a, b)
+
+
+def test_sharded_eval_matches_dense_eval():
+    """evaluate_seqrec_sharded (row-sharded catalog, psum ranks) ==
+    evaluate_seqrec (dense scores), including catalog padding correction."""
+    from recformer_tpu.data.datasets import EvalDataset
+    from recformer_tpu.models.heads import RecformerForSeqRec
+    from recformer_tpu.training.loops import (
+        encode_all_items,
+        evaluate_seqrec,
+        evaluate_seqrec_sharded,
+    )
+    from __graft_entry__ import _synthetic_table
+
+    cfg = RecformerConfig.tiny(
+        max_token_num=32, item_seq_len=16, max_item_embeddings=4,
+        attention_window=(8, 8), dtype="float32",
+    )
+    n_items = 21  # NOT divisible by the model axis -> exercises padding
+    table = _synthetic_table(cfg, n_items)
+    rng = np.random.default_rng(0)
+    user2train = {u: list(rng.integers(0, n_items, size=rng.integers(2, 6)))
+                  for u in range(10)}
+    user2val = {u: [int(rng.integers(0, n_items))] for u in range(10)}
+    ds = EvalDataset(user2train, user2val, user2val, "val", max_items=8)
+
+    model = RecformerForSeqRec(cfg)
+    dummy = {
+        k: jnp.zeros((1, cfg.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    item_emb = encode_all_items(params, model, table, cfg, batch_size=8)
+
+    dense = evaluate_seqrec(params, model, table, ds, item_emb, cfg, batch_size=4)
+    mesh = make_mesh(n_data=2, n_model=4)
+    sharded = evaluate_seqrec_sharded(params, model, table, ds, item_emb, cfg,
+                                      mesh, batch_size=4)
+    for k in dense:
+        np.testing.assert_allclose(sharded[k], dense[k], rtol=1e-5,
+                                   err_msg=f"metric {k}")
