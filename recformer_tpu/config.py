@@ -87,6 +87,12 @@ class RecformerConfig:
     # Must be a multiple of the attention window and >= the max item token
     # count (1 + max_attr_num * max_attr_length).
     item_seq_len: int = 128
+    # Stack the (identical-window) encoder layers and iterate them with
+    # jax.lax.scan: ~num_layers x smaller XLA program => much faster compiles,
+    # same math. Parameters become (num_layers, ...) stacked leaves (the
+    # checkpoint importer handles both layouts). Requires all attention
+    # windows equal.
+    scan_layers: bool = False
     # Rematerialize each encoder layer in backward (jax.checkpoint): trades
     # ~30% more FLOPs for O(num_layers) less activation memory. Worth it for
     # big batches / long sequences.
@@ -130,6 +136,8 @@ class RecformerConfig:
             raise ValueError(f"unknown attention_impl {self.attention_impl!r}")
         if self.embed_ln_impl not in ("xla", "pallas"):
             raise ValueError(f"unknown embed_ln_impl {self.embed_ln_impl!r}")
+        if self.scan_layers and len(set(self.attention_window)) != 1:
+            raise ValueError("scan_layers requires all attention windows equal")
         if self.contrastive_gradient not in ("full", "local"):
             raise ValueError(f"unknown contrastive_gradient {self.contrastive_gradient!r}")
 

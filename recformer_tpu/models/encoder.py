@@ -110,16 +110,52 @@ class EncoderLayer(nn.Module):
         return hidden
 
 
+class _LayerForScan(nn.Module):
+    """Scan adapter: carry = hidden states; mask/deterministic broadcast."""
+
+    config: RecformerConfig
+    window: int
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, hidden, mask):
+        hidden = EncoderLayer(self.config, self.window, name="layer")(
+            hidden, mask, self.deterministic
+        )
+        return hidden, None
+
+
 class LongformerEncoder(nn.Module):
     config: RecformerConfig
 
     @nn.compact
     def __call__(self, hidden, mask, deterministic=True):
+        cfg = self.config
+        if cfg.scan_layers:
+            # stacked layers iterated with lax.scan: same math, ~L x smaller
+            # XLA program. Params live under encoder/layers/layer/... with a
+            # leading (num_layers,) axis.
+            scan_cls = _LayerForScan
+            if cfg.remat:
+                scan_cls = nn.remat(
+                    _LayerForScan,
+                    prevent_cse=False,
+                    static_argnums=(),
+                )
+            scanned = nn.scan(
+                scan_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                length=cfg.num_hidden_layers,
+                in_axes=(nn.broadcast,),
+            )(cfg, cfg.attention_window[0], deterministic, name="layers")
+            hidden, _ = scanned(hidden, mask)
+            return hidden
         layer_cls = EncoderLayer
-        if self.config.remat:
+        if cfg.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
-        for i, window in enumerate(self.config.attention_window):
-            hidden = layer_cls(self.config, window, name=f"layer_{i}")(
+        for i, window in enumerate(cfg.attention_window):
+            hidden = layer_cls(cfg, window, name=f"layer_{i}")(
                 hidden, mask, deterministic
             )
         return hidden

@@ -148,7 +148,12 @@ def import_torch_state_dict(
     (new_params, copied_names, skipped_names)."""
     bare = "params" not in params
     tree = params if bare else params["params"]
-    flat = _flatten(jax.tree.map(np.asarray, tree))
+    tree = jax.tree.map(np.asarray, tree)
+    restack = _template_is_stacked(tree)
+    if restack:
+        # import into the unrolled view, restack at the end (scan_layers)
+        tree = unstack_layer_params(tree)
+    flat = _flatten(tree)
     copied, skipped = [], []
     for name, tensor in state_dict.items():
         arr = np.asarray(tensor)
@@ -174,7 +179,63 @@ def import_torch_state_dict(
     if strict and skipped:
         raise ValueError(f"strict import: skipped {skipped}")
     new_tree = _unflatten(flat)
+    if restack:
+        new_tree = stack_layer_params(new_tree)
     return (new_tree if bare else {**params, "params": new_tree}), copied, skipped
+
+
+def _is_unrolled_layer_dict(d) -> bool:
+    return (
+        isinstance(d, dict)
+        and "layer_0" in d
+        and all(re.fullmatch(r"layer_\d+", k) for k in d)
+    )
+
+
+def _is_stacked_layer_dict(d) -> bool:
+    return isinstance(d, dict) and set(d) == {"layer"} and isinstance(d["layer"], dict)
+
+
+def stack_layer_params(tree):
+    """Convert unrolled encoder layers (``layer_0..layer_{n-1}`` siblings)
+    into the ``scan_layers`` layout (``layers/layer`` with a leading
+    (num_layers,) axis on every leaf). Walks the whole tree."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        if k == "encoder" and isinstance(v, dict) and _is_unrolled_layer_dict(v):
+            n = len(v)
+            layers = [stack_layer_params(v[f"layer_{i}"]) for i in range(n)]
+            stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]), *layers)
+            out[k] = {"layers": {"layer": stacked}}
+        else:
+            out[k] = stack_layer_params(v)
+    return out
+
+
+def unstack_layer_params(tree):
+    """Inverse of :func:`stack_layer_params`."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        if (k == "encoder" and isinstance(v, dict) and "layers" in v
+                and _is_stacked_layer_dict(v["layers"])):
+            stacked = v["layers"]["layer"]
+            n = jax.tree.leaves(stacked)[0].shape[0]
+            out[k] = {
+                f"layer_{i}": jax.tree.map(lambda x: np.asarray(x)[i], stacked)
+                for i in range(n)
+            }
+        else:
+            out[k] = unstack_layer_params(v)
+    return out
+
+
+def _template_is_stacked(tree) -> bool:
+    flat = _flatten(tree)
+    return any("layers" in path for path in flat)
 
 
 def merge_params(source, template, verbose: bool = True):
@@ -186,6 +247,13 @@ def merge_params(source, template, verbose: bool = True):
     src = source.get("params", source) if isinstance(source, dict) else source
     bare = "params" not in template
     tmpl = template if bare else template["params"]
+    # auto-convert between unrolled and scan_layers (stacked) layer layouts
+    src_np = jax.tree.map(np.asarray, src)
+    if _template_is_stacked(tmpl) and not _template_is_stacked(src_np):
+        src_np = stack_layer_params(src_np)
+    elif not _template_is_stacked(tmpl) and _template_is_stacked(src_np):
+        src_np = unstack_layer_params(src_np)
+    src = src_np
     flat_src = _flatten(jax.tree.map(np.asarray, src))
     flat_tmpl = _flatten(jax.tree.map(np.asarray, tmpl))
     copied = skipped = 0

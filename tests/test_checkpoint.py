@@ -188,3 +188,27 @@ def test_convert_ckpt_driver(tmp_path, cfg, params):
     for name in ("recformer", "seqrec", "fraud"):
         restored = restore_params(f"{out}/{name}")
         assert "params" in restored
+
+
+def test_torch_import_into_scan_layers(cfg):
+    """HF import works into the stacked (scan_layers) layout."""
+    import jax.numpy as jnp
+
+    scfg = cfg.replace(scan_layers=True)
+    model = RecformerForSeqRec(scfg)
+    batch = {
+        k: jnp.zeros((1, scfg.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), batch)
+    rng = np.random.default_rng(0)
+    sd = fake_torch_state_dict(cfg, rng)
+    new_params, copied, skipped = import_torch_state_dict(sd, params, verbose=False)
+    flat = _flatten(jax.tree.map(np.asarray, new_params["params"]))
+    q = flat[("longformer", "encoder", "layers", "layer", "attention", "self",
+              "query", "kernel")]
+    assert q.shape[0] == cfg.num_hidden_layers
+    np.testing.assert_allclose(
+        q[1], sd["longformer.encoder.layer.1.attention.self.query.weight"].T,
+        rtol=1e-6)

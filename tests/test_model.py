@@ -119,3 +119,50 @@ def test_pretraining_forward(cfg, batch):
     assert out.z2.shape == (B, cfg.hidden_size)
     assert out.mlm_logits_a.shape == (B, P, cfg.vocab_size)
     assert out.mlm_logits_b is None
+
+
+def test_scan_layers_matches_unrolled(cfg, batch):
+    """scan_layers=True produces identical outputs given restacked params."""
+    from recformer_tpu.training.checkpoint import stack_layer_params
+
+    cfg32 = cfg.replace(dtype="float32")
+    unrolled = RecformerModel(cfg32)
+    params = unrolled.init(jax.random.PRNGKey(0), **batch)
+    h1, p1 = unrolled.apply(params, **batch)
+
+    scanned = RecformerModel(cfg32.replace(scan_layers=True))
+    s_params = {"params": stack_layer_params(params["params"])}
+    h2, p2 = scanned.apply(s_params, **batch)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h1), np.asarray(h2), rtol=1e-5, atol=1e-5)
+
+
+def test_scan_layers_init_shapes(cfg):
+    cfgs = cfg.replace(scan_layers=True)
+    model = RecformerModel(cfgs)
+    b = {
+        k: jnp.zeros((1, cfgs.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), **b)
+    layer = params["params"]["encoder"]["layers"]["layer"]
+    q = layer["attention"]["self"]["query"]["kernel"]
+    assert q.shape == (cfgs.num_hidden_layers, cfgs.hidden_size, cfgs.hidden_size)
+
+
+def test_stack_unstack_roundtrip(cfg, batch):
+    from recformer_tpu.training.checkpoint import (
+        _flatten,
+        stack_layer_params,
+        unstack_layer_params,
+    )
+
+    model = RecformerModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    rt = unstack_layer_params(stack_layer_params(params["params"]))
+    a = _flatten(jax.tree.map(np.asarray, params["params"]))
+    b = _flatten(jax.tree.map(np.asarray, rt))
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
