@@ -10,11 +10,10 @@ one canonical constructor, and the torch.save corpus caches
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import RecformerConfig
 from ..utils.cache import enable_compilation_cache

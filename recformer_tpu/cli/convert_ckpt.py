@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import jax
 
 from ..config import RecformerConfig
 from ..models.heads import (

@@ -12,7 +12,6 @@ import argparse
 import json
 import os
 
-import jax
 
 from ..data.datasets import EvalDataset
 from ..models.heads import RecformerForSeqRec

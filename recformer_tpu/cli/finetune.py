@@ -18,7 +18,6 @@ import json
 import os
 
 import jax
-import numpy as np
 
 from ..data.datasets import EvalDataset, SequenceDataset
 from ..models.heads import RecformerForSeqRec

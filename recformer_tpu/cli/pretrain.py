@@ -14,7 +14,6 @@ attribute dict, with ``--item2id_file`` mapping raw ids to dense ints.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import time
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import hashlib
 import unicodedata
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 
 def is_punctuation(char: str) -> bool:

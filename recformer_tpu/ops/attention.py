@@ -32,7 +32,6 @@ and return ``(B, L, H, D)``.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -31,12 +31,10 @@ needs the custom VJP.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from .attention import NEG_INF, _global_rows, global_prefix_indices
 

@@ -26,7 +26,7 @@ import json
 import os
 import random
 from collections import defaultdict
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from ..utils.io import write_json
 

@@ -20,7 +20,6 @@ import re
 from typing import Dict, List, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

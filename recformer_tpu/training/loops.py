@@ -7,7 +7,6 @@ Reference drivers: ``/root/reference/finetune.py:38-96,298-353`` and
 
 from __future__ import annotations
 
-import copy
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax

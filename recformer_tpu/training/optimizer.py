@@ -13,7 +13,6 @@ has no equivalent and is intentionally absent.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import optax
 

@@ -15,8 +15,7 @@ at ``models.py:475-490``).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict
 
 
 def read_json(path: str, as_int: bool = False):
