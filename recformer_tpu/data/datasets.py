@@ -68,10 +68,26 @@ class SequenceDataset:
         return len(self.seqs)
 
     def batches(self, batch_size: int, shuffle: bool = False, seed: int = 0,
-                drop_last: bool = False) -> Iterator[SequenceBatch]:
-        for ids, lens, valid in self._ragged.batches(
-            batch_size, self.max_items, shuffle=shuffle, seed=seed, drop_last=drop_last
-        ):
+                drop_last: bool = False, process_index: int = 0,
+                process_count: int = 1) -> Iterator[SequenceBatch]:
+        """``process_index/count`` shard the (shuffled) row order across hosts
+        for multi-host ingestion (each process feeds its local chips; replaces
+        the reference's DataLoader workers — SURVEY §5.8)."""
+        if process_count == 1:
+            for ids, lens, valid in self._ragged.batches(
+                batch_size, self.max_items, shuffle=shuffle, seed=seed,
+                drop_last=drop_last,
+            ):
+                yield SequenceBatch(ids, lens, valid)
+            return
+        order = np.ascontiguousarray(
+            self._ragged.epoch_order(shuffle, seed)[process_index::process_count]
+        )
+        n = len(order)
+        nb = n // batch_size if drop_last else -(-n // batch_size)
+        for b in range(nb):
+            ids, lens, valid = self._ragged.pack(order, b * batch_size, batch_size,
+                                                 self.max_items)
             yield SequenceBatch(ids, lens, valid)
 
 

@@ -100,17 +100,18 @@ class RaggedSequences:
         out_lens = np.zeros(batch, np.int32)
         out_valid = np.zeros(batch, np.uint8)
         lib = _build_lib()
+        n_rows = len(order)  # may be a per-process shard of the full order
         if lib is not None:
             lib.pack_batch(
                 _ptr(self.flat, ctypes.c_int32), _ptr(self.offsets, ctypes.c_int64),
-                self.n, _ptr(order, ctypes.c_int64), start, batch, max_len,
+                n_rows, _ptr(order, ctypes.c_int64), start, batch, max_len,
                 _ptr(out_ids, ctypes.c_int32), _ptr(out_lens, ctypes.c_int32),
                 _ptr(out_valid, ctypes.c_uint8),
             )
         else:
             for b in range(batch):
                 pos = start + b
-                if pos >= self.n:
+                if pos >= n_rows:
                     out_lens[b] = 1
                     continue
                 row = order[pos]

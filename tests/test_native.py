@@ -95,3 +95,17 @@ def test_sequence_dataset_uses_ragged():
         assert batch.item_ids.shape == (4, 5)
         seen += int(batch.valid.sum())
     assert seen == 9
+
+
+def test_multi_host_sharded_batches():
+    from recformer_tpu.data.datasets import SequenceDataset
+
+    user2seq = {u: [u, u + 1, u + 2] for u in range(20)}
+    ds = SequenceDataset(user2seq, max_items=4)
+    seen = []
+    for pi in range(4):
+        for batch in ds.batches(4, shuffle=True, seed=3, process_index=pi,
+                                process_count=4):
+            seen.extend(batch.item_ids[batch.valid, 0].tolist())
+    # every user's first item seen exactly once across all processes
+    assert sorted(seen) == sorted(s[0] for s in ds.seqs)
