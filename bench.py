@@ -76,12 +76,13 @@ def main():
         return jax.lax.scan(body, state, None, length=args.steps)
 
     state_w, losses = run_n(state, rng, table, item_ids, seq_lens)
-    jax.block_until_ready(losses)  # compile + warm run
+    np.asarray(losses)  # compile + warm run; host materialization forces full sync
 
     t0 = time.perf_counter()
     state_w, losses = run_n(state_w, rng, table, item_ids, seq_lens)
-    jax.block_until_ready(losses)
+    final_losses = np.asarray(losses)  # device->host copy == hard barrier
     dt = time.perf_counter() - t0
+    assert np.isfinite(final_losses).all()
 
     n_chips = jax.device_count()
     examples_per_sec = args.steps * B / dt / n_chips

@@ -87,6 +87,10 @@ class RecformerConfig:
     # Must be a multiple of the attention window and >= the max item token
     # count (1 + max_attr_num * max_attr_length).
     item_seq_len: int = 128
+    # Run each pretraining view's clean + MLM-corrupted passes as one (2B, L)
+    # batched forward (better MXU utilization) instead of two sequential
+    # passes. Costs ~2x transient activation memory; disable when HBM-bound.
+    fuse_mlm_pass: bool = True
     # Stack the (identical-window) encoder layers and iterate them with
     # jax.lax.scan: ~num_layers x smaller XLA program => much faster compiles,
     # same math. Parameters become (num_layers, ...) stacked leaves (the

@@ -131,6 +131,11 @@ class RecformerForPretraining(nn.Module):
         kernel launches at identical math."""
         if "mlm_input_ids" not in batch:
             return self.encode(batch, deterministic), None
+        if not self.config.fuse_mlm_pass:
+            z = self.encode(batch, deterministic)
+            logits = self.mlm_logits(batch["mlm_input_ids"], batch,
+                                     batch["mlm_positions"], deterministic)
+            return z, logits
 
         def dup(x):
             return jnp.concatenate([x, x], axis=0)
