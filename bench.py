@@ -1,15 +1,22 @@
-"""Benchmark harness: pretraining throughput on real hardware.
+"""Benchmark harness: throughput on real hardware.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
-The measured quantity is end-to-end pretrain examples/s/chip on the canonical
+Default task: end-to-end pretrain examples/s/chip on the canonical
 Recformer-base recipe (12-layer Longformer backbone, window 64, 1024-token
-sequences, dual-tower contrastive + 2 MLM towers = 4 encoder passes/step,
-device-side batch construction). The reference publishes no throughput numbers
-(SURVEY.md §6), so ``vs_baseline`` is the ratio against the north-star target
-recorded in BASELINE.json's protocol — absent any published number we report
-the ratio vs the first value this harness ever recorded (stored in
-.bench_reference.json), i.e. round-over-round speedup; 1.0 on first run.
+sequences, dual-tower contrastive + fused MLM towers, device-side batch
+construction). ``--task encode`` measures the item-encoding service (items/s),
+``--task eval`` the full-catalog ranked-eval path (users/s).
+
+N steps run inside one ``lax.scan`` jit and the result is materialized on the
+host (a hard barrier — plain ``block_until_ready`` does not reliably wait
+through the axon relay), so the figure is device time + one transfer,
+amortized per step.
+
+The reference publishes no throughput numbers (SURVEY.md §6), so
+``vs_baseline`` is the ratio vs the first value this harness ever recorded per
+config (stored in .bench_reference.json): round-over-round speedup; 1.0 on
+first run.
 """
 
 import argparse
@@ -26,22 +33,114 @@ from recformer_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
+def _timed(run, *args):
+    out = run(*args)
+    np.asarray(jax.tree.leaves(out)[-1])  # compile + warm run, hard barrier
+    t0 = time.perf_counter()
+    out = run(*args)
+    final = np.asarray(jax.tree.leaves(out)[-1])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(final, dtype=np.float64)).all()
+    return dt
+
+
+def bench_pretrain(cfg, table, item_ids, seq_lens, steps):
+    from recformer_tpu.data.device_pipeline import make_pretrain_batch
+    from recformer_tpu.models.heads import RecformerForPretraining
+    from recformer_tpu.training.optimizer import create_optimizer
+    from recformer_tpu.training.steps import TrainState, make_pretrain_step
+
+    model = RecformerForPretraining(cfg)
+    ba, bb = make_pretrain_batch(jax.random.PRNGKey(0), table, item_ids, seq_lens, cfg)
+    params = model.init(jax.random.PRNGKey(0), ba, bb)
+    tx = create_optimizer(learning_rate=5e-5, warmup_steps=100, total_steps=10000)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_pretrain_step(cfg, model)
+    rng = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def run_n(state, rng, table, item_ids, seq_lens):
+        def body(s, _):
+            s, m = step(s, rng, table, item_ids, seq_lens)
+            return s, m["loss"]
+
+        return jax.lax.scan(body, state, None, length=steps)
+
+    dt = _timed(run_n, state, rng, table, item_ids, seq_lens)
+    B = item_ids.shape[0]
+    return steps * B / dt, "pretrain_examples_per_sec_per_chip", "examples/s/chip"
+
+
+def bench_encode(cfg, table, item_ids, seq_lens, steps, batch_size):
+    from recformer_tpu.models.heads import RecformerForSeqRec
+    from recformer_tpu.training.steps import make_encode_items_step
+
+    model = RecformerForSeqRec(cfg)
+    dummy = {
+        k: jnp.zeros((1, cfg.item_seq_len), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    step = make_encode_items_step(cfg, model)
+    n_items = int(table["lengths"].shape[0]) - 1
+    chunk = jnp.asarray(
+        np.random.default_rng(0).integers(0, n_items, size=batch_size).astype(np.int32))
+
+    @jax.jit
+    def run_n(params, table, chunk):
+        def body(c, _):
+            emb = step(params, table, c)
+            return c, emb.sum()
+
+        return jax.lax.scan(body, chunk, None, length=steps)
+
+    dt = _timed(run_n, params, table, chunk)
+    return steps * batch_size / dt, "item_encode_items_per_sec_per_chip", "items/s/chip"
+
+
+def bench_eval(cfg, table, item_ids, seq_lens, steps, n_items):
+    from recformer_tpu.models.heads import RecformerForSeqRec
+    from recformer_tpu.training.steps import make_eval_step
+
+    model = RecformerForSeqRec(cfg)
+    dummy = {
+        k: jnp.zeros((1, cfg.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    step = make_eval_step(cfg, model)
+    B = item_ids.shape[0]
+    rng = np.random.default_rng(0)
+    labels = jnp.asarray(rng.integers(0, n_items, size=B).astype(np.int32))
+    valid = jnp.ones(B, bool)
+    item_emb = jnp.asarray(rng.standard_normal((n_items, cfg.hidden_size)).astype(np.float32))
+
+    @jax.jit
+    def run_n(params, table, item_ids, seq_lens, labels, valid, item_emb):
+        def body(c, _):
+            out = step(params, table, item_ids, seq_lens, labels, valid, item_emb)
+            return c, out["NDCG@10"]
+
+        return jax.lax.scan(body, jnp.zeros(()), None, length=steps)
+
+    dt = _timed(run_n, params, table, item_ids, seq_lens, labels, valid, item_emb)
+    return steps * B / dt, "eval_users_per_sec_per_chip", "users/s/chip"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=["base", "tiny"], default="base")
+    ap.add_argument("--task", choices=["pretrain", "encode", "eval"], default="pretrain")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--attention", choices=["pallas", "chunked", "dense"], default="pallas")
     ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     from __graft_entry__ import _synthetic_table
     from recformer_tpu.config import RecformerConfig
-    from recformer_tpu.data.device_pipeline import make_pretrain_batch
-    from recformer_tpu.models.heads import RecformerForPretraining
-    from recformer_tpu.training.optimizer import create_optimizer
-    from recformer_tpu.training.steps import TrainState, make_pretrain_step
 
     if args.model == "base":
         cfg = RecformerConfig.base(attention_impl=args.attention, remat=args.remat)
@@ -56,39 +155,18 @@ def main():
     item_ids = jnp.asarray(rng_np.integers(0, n_items, size=(B, s_in)).astype(np.int32))
     seq_lens = jnp.asarray(rng_np.integers(s_in // 2, s_in + 1, size=B).astype(np.int32))
 
-    model = RecformerForPretraining(cfg)
-    ba, bb = make_pretrain_batch(jax.random.PRNGKey(0), table, item_ids, seq_lens, cfg)
-    params = model.init(jax.random.PRNGKey(0), ba, bb)
-    tx = create_optimizer(learning_rate=5e-5, warmup_steps=100, total_steps=10000)
-    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
-    step = make_pretrain_step(cfg, model)
+    if args.task == "pretrain":
+        rate, metric, unit = bench_pretrain(cfg, table, item_ids, seq_lens, args.steps)
+    elif args.task == "encode":
+        rate, metric, unit = bench_encode(cfg, table, item_ids, seq_lens, args.steps,
+                                          max(args.batch_size, 128))
+    else:
+        rate, metric, unit = bench_eval(cfg, table, item_ids, seq_lens, args.steps, n_items)
 
-    rng = jax.random.PRNGKey(1)
-
-    # Drive N steps inside ONE jit with lax.scan: measures pure device time
-    # per step, immune to host dispatch / tunnel round-trip latency.
-    @jax.jit
-    def run_n(state, rng, table, item_ids, seq_lens):
-        def body(s, _):
-            s, m = step(s, rng, table, item_ids, seq_lens)
-            return s, m["loss"]
-
-        return jax.lax.scan(body, state, None, length=args.steps)
-
-    state_w, losses = run_n(state, rng, table, item_ids, seq_lens)
-    np.asarray(losses)  # compile + warm run; host materialization forces full sync
-
-    t0 = time.perf_counter()
-    state_w, losses = run_n(state_w, rng, table, item_ids, seq_lens)
-    final_losses = np.asarray(losses)  # device->host copy == hard barrier
-    dt = time.perf_counter() - t0
-    assert np.isfinite(final_losses).all()
-
-    n_chips = jax.device_count()
-    examples_per_sec = args.steps * B / dt / n_chips
+    rate /= jax.device_count()
 
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_reference.json")
-    key = f"{args.model}-{args.attention}-b{args.batch_size}"
+    key = f"{args.task}-{args.model}-{args.attention}-b{args.batch_size}"
     record = {}
     if os.path.exists(ref_path):
         try:
@@ -98,15 +176,15 @@ def main():
             record = {}
     baseline = record.get(key)
     if baseline is None:
-        record[key] = baseline = examples_per_sec
+        record[key] = baseline = rate
         with open(ref_path, "w") as f:
             json.dump(record, f)
 
     print(json.dumps({
-        "metric": "pretrain_examples_per_sec_per_chip",
-        "value": round(examples_per_sec, 3),
-        "unit": "examples/s/chip",
-        "vs_baseline": round(examples_per_sec / baseline, 3),
+        "metric": metric,
+        "value": round(rate, 3),
+        "unit": unit,
+        "vs_baseline": round(rate / baseline, 3),
     }))
 
 
