@@ -8,6 +8,12 @@ threshold-sweep F1 selection, early stopping on F1, JSON metric dumps.
 
 Data contract: train/val/test JSON mapping user -> [sequence, [label]]
 (the transactional pipeline's classification artifacts).
+
+Deliberate fix vs the reference (flagged per SURVEY §7.4 policy): the
+reference re-encodes the full item catalog every epoch
+(``finetune_classification.py:477-485``) even though the fraud forward pass
+never reads the item-embedding table (``models.py:665-713``) — pure wasted
+compute. This driver skips that re-encode.
 """
 
 from __future__ import annotations
