@@ -1,0 +1,65 @@
+"""Optimizer parity: LR schedule formula, no-decay grouping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from recformer_tpu.training.optimizer import (
+    create_optimizer,
+    decay_mask,
+    linear_warmup_linear_decay,
+)
+
+
+def test_schedule_matches_reference_formula():
+    """reference optimization.py:12-17: warmup step/warmup, then
+    max(0, 1 - step/total) — decay anchored at 0, not warmup end."""
+    lr, warmup, total = 5e-5, 100, 1000
+    sched = linear_warmup_linear_decay(lr, warmup, total)
+    for step in (0, 1, 50, 99, 100, 101, 500, 999, 1000, 1500):
+        if step < warmup:
+            expected = lr * step / warmup
+        else:
+            expected = lr * max(0.0, 1 - step / total)
+        np.testing.assert_allclose(float(sched(jnp.asarray(step))), expected,
+                                   rtol=1e-4, atol=1e-12)
+
+
+def test_decay_mask_excludes_bias_and_layernorm():
+    params = {
+        "dense": {"kernel": np.zeros((2, 2)), "bias": np.zeros(2)},
+        "LayerNorm": {"scale": np.ones(2), "bias": np.zeros(2)},
+        "emb": {"embedding": np.zeros((4, 2))},
+    }
+    mask = decay_mask(params)
+    assert mask["dense"]["kernel"] is True
+    assert mask["dense"]["bias"] is False
+    assert mask["LayerNorm"]["scale"] is False
+    assert mask["LayerNorm"]["bias"] is False
+    assert mask["emb"]["embedding"] is True
+
+
+def test_grad_accum_multisteps():
+    """k micro-steps with accumulation == 1 step on the averaged gradient."""
+    import optax
+
+    params = {"w": jnp.ones(3)}
+    tx_plain = create_optimizer(learning_rate=1e-2, warmup_steps=1, total_steps=100)
+    tx_accum = create_optimizer(learning_rate=1e-2, warmup_steps=1, total_steps=100,
+                                grad_accum_steps=2)
+    g1 = {"w": jnp.asarray([1.0, 2.0, 3.0])}
+    g2 = {"w": jnp.asarray([3.0, 2.0, 1.0])}
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, g1, g2)
+
+    s = tx_plain.init(params)
+    u, s = tx_plain.update(g_mean, s, params)
+    p_plain = optax.apply_updates(params, u)
+
+    s2 = tx_accum.init(params)
+    ua, s2 = tx_accum.update(g1, s2, params)
+    pa = optax.apply_updates(params, ua)  # no-op micro step
+    ub, s2 = tx_accum.update(g2, s2, pa)
+    p_accum = optax.apply_updates(pa, ub)
+
+    np.testing.assert_allclose(np.asarray(p_plain["w"]), np.asarray(p_accum["w"]),
+                               rtol=1e-6)
