@@ -137,16 +137,19 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--attention", choices=["pallas", "chunked", "dense"], default="pallas")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--scan_layers", action="store_true")
     args = ap.parse_args()
 
     from __graft_entry__ import _synthetic_table
     from recformer_tpu.config import RecformerConfig
 
     if args.model == "base":
-        cfg = RecformerConfig.base(attention_impl=args.attention, remat=args.remat)
+        cfg = RecformerConfig.base(attention_impl=args.attention, remat=args.remat,
+                                   scan_layers=args.scan_layers)
         n_items, s_in = 10000, 32
     else:
-        cfg = RecformerConfig.tiny(attention_impl=args.attention, remat=args.remat)
+        cfg = RecformerConfig.tiny(attention_impl=args.attention, remat=args.remat,
+                                   scan_layers=args.scan_layers)
         n_items, s_in = 200, 12
 
     table = _synthetic_table(cfg, n_items)
@@ -166,7 +169,8 @@ def main():
     rate /= jax.device_count()
 
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_reference.json")
-    key = f"{args.task}-{args.model}-{args.attention}-b{args.batch_size}"
+    key = f"{args.task}-{args.model}-{args.attention}-b{args.batch_size}" + (
+        "-scan" if args.scan_layers else "")
     record = {}
     if os.path.exists(ref_path):
         try:

@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--encode_batch_size", type=int, default=256)
     p.add_argument("--temp", type=float, default=0.05)
     p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--scan_layers", action="store_true", default=None,
+                   help="stacked lax.scan encoder layers (faster compiles)")
+    p.add_argument("--remat", action="store_true", default=None)
     p.add_argument("--output_file", type=str, default=None)
     return p.parse_args(argv)
 

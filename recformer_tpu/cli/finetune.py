@@ -56,6 +56,9 @@ def parse_args(argv=None):
     p.add_argument("--warmup_steps", type=int, default=100)
     p.add_argument("--verbose", type=int, default=3)
     p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--scan_layers", action="store_true", default=None,
+                   help="stacked lax.scan encoder layers (faster compiles)")
+    p.add_argument("--remat", action="store_true", default=None)
     p.add_argument("--steps_per_call", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)

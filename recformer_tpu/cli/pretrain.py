@@ -67,6 +67,9 @@ def parse_args(argv=None):
     p.add_argument("--temp", type=float, default=0.05)
     p.add_argument("--mlm_weight", type=float, default=0.1)
     p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--scan_layers", action="store_true", default=None,
+                   help="stacked lax.scan encoder layers (faster compiles)")
+    p.add_argument("--remat", action="store_true", default=None)
     p.add_argument("--fix_word_embedding", action="store_true")
     p.add_argument("--valid_step_interval", type=int, default=2000)
     p.add_argument("--resume", action="store_true",
