@@ -80,7 +80,10 @@ def make_sharded_topk_fn(mesh: Mesh, temp: float, k: int):
         offset = idx * n_local
         scores = similarity_scores(pooled.astype(jnp.float32),
                                    emb_shard.astype(jnp.float32), temp)
-        local_scores, local_ids = jax.lax.top_k(scores, k)  # (B, k)
+        # a shard may hold fewer than k rows; exactness only needs the global
+        # candidate pool (n_shards * k_local) >= k
+        k_local = min(k, n_local)
+        local_scores, local_ids = jax.lax.top_k(scores, k_local)  # (B, k_local)
         local_ids = local_ids + offset
         all_scores = jax.lax.all_gather(local_scores, MODEL_AXIS, axis=1, tiled=True)
         all_ids = jax.lax.all_gather(local_ids, MODEL_AXIS, axis=1, tiled=True)

@@ -161,3 +161,29 @@ def test_pretrain_driver_end_to_end(artifacts, tmp_path):
         "--valid_step_interval", "100",
         "--resume",
     ])
+
+
+def test_serve_driver(artifacts, tmp_path):
+    from recformer_tpu.cli.serve import main
+
+    rng = np.random.default_rng(5)
+    seqs = {f"u{i}": [int(x) for x in rng.integers(0, 25, size=5)] for i in range(6)}
+    seq_file = tmp_path / "sequences.json"
+    write_json(seqs, str(seq_file))
+    out_file = tmp_path / "recs.jsonl"
+    n = main([
+        "--data_path", str(artifacts),
+        "--sequences", str(seq_file),
+        "--model_size", "tiny",
+        "--top_k", "5",
+        "--batch_size", "4",
+        "--encode_batch_size", "8",
+        "--output", str(out_file),
+    ])
+    assert n == 6
+    rows = [json.loads(l) for l in open(out_file)]
+    assert len(rows) == 6
+    assert all(len(r["items"]) == 5 for r in rows)
+    # scores descending
+    for r in rows:
+        assert r["scores"] == sorted(r["scores"], reverse=True)
