@@ -147,6 +147,7 @@ def main():
     ap.add_argument("--attention", choices=["pallas", "chunked", "dense"], default="pallas")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--scan_layers", action="store_true")
+    ap.add_argument("--no-dropout", action="store_true", dest="no_dropout")
     args = ap.parse_args()
 
     from __graft_entry__ import _synthetic_table
@@ -161,6 +162,8 @@ def main():
                                    scan_layers=args.scan_layers)
         n_items, s_in = 200, 12
 
+    if args.no_dropout:
+        cfg = cfg.replace(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
     table = _synthetic_table(cfg, n_items)
     rng_np = np.random.default_rng(0)
     B = args.batch_size
@@ -179,7 +182,7 @@ def main():
 
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_reference.json")
     key = f"{args.task}-{args.model}-{args.attention}-b{args.batch_size}" + (
-        "-scan" if args.scan_layers else "")
+        "-scan" if args.scan_layers else "") + ("-nodrop" if args.no_dropout else "")
     record = {}
     if os.path.exists(ref_path):
         try:
