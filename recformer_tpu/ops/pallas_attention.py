@@ -54,47 +54,51 @@ def _band_iota_mask(block_q: int, band: int, half: int):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
-                out_ref, *, block_q: int, window: int, num_globals: int, scale: float):
+                out_ref, *, block_q: int, window: int, num_globals: int,
+                scale: float, nb: int):
+    """One program per (batch*head) row; query blocks iterated INSIDE the
+    program. Amortizes per-program fixed costs ~nb x vs a (BH, nb) grid —
+    measured 1.1 us/program overhead made the fine grid overhead-bound."""
     half = window // 2
     band = block_q + window
-    i = pl.program_id(1)
-
     in_dtype = q_ref.dtype
-    q = q_ref[0] * jnp.asarray(scale, in_dtype)  # (block_q, D)
-    k_band = kpad_ref[0, pl.ds(i * block_q, band), :]  # (band, D)
-    v_band = vpad_ref[0, pl.ds(i * block_q, band), :]
-    key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0  # (band,)
-
-    scores = jax.lax.dot_general(
-        q, k_band, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (block_q, band)
-    allowed = _band_iota_mask(block_q, band, half) & key_ok[None, :]
-    scores = jnp.where(allowed, scores, NEG_INF)
-
     gk = gk_ref[0].astype(jnp.float32)  # (G, D)
     gv = gv_ref[0].astype(jnp.float32)
-    g_scores = jax.lax.dot_general(
-        q.astype(jnp.float32), gk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (block_q, G)
     g_ok = gvalid_ref[0, 0, :] != 0
-    g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
+    win_mask = _band_iota_mask(block_q, band, half)
 
-    all_scores = jnp.concatenate([scores, g_scores], axis=1)
-    m = jnp.max(all_scores, axis=1, keepdims=True)
-    e = jnp.exp(all_scores - m)
-    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
-    p = e / denom
+    for i in range(nb):
+        q = q_ref[0, pl.ds(i * block_q, block_q), :] * jnp.asarray(scale, in_dtype)
+        k_band = kpad_ref[0, pl.ds(i * block_q, band), :]  # (band, D)
+        v_band = vpad_ref[0, pl.ds(i * block_q, band), :]
+        key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0  # (band,)
 
-    out = jax.lax.dot_general(
-        p[:, :band].astype(in_dtype), v_band, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out += jax.lax.dot_general(
-        p[:, band:], gv, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    out_ref[0] = out.astype(out_ref.dtype)
+        scores = jax.lax.dot_general(
+            q, k_band, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, band)
+        scores = jnp.where(win_mask & key_ok[None, :], scores, NEG_INF)
+
+        g_scores = jax.lax.dot_general(
+            q.astype(jnp.float32), gk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, G)
+        g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
+
+        all_scores = jnp.concatenate([scores, g_scores], axis=1)
+        m = jnp.max(all_scores, axis=1, keepdims=True)
+        e = jnp.exp(all_scores - m)
+        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+        p = e / denom
+
+        out = jax.lax.dot_general(
+            p[:, :band].astype(in_dtype), v_band, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out += jax.lax.dot_general(
+            p[:, band:], gv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, pl.ds(i * block_q, block_q), :] = out.astype(out_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -104,78 +108,79 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
 def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
                 dout_ref,
                 dq_ref, dkpad_ref, dvpad_ref, dgk_ref, dgv_ref,
-                *, block_q: int, window: int, num_globals: int, scale: float):
+                *, block_q: int, window: int, num_globals: int,
+                scale: float, nb: int):
     half = window // 2
     band = block_q + window
-    i = pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _init():
-        dkpad_ref[...] = jnp.zeros_like(dkpad_ref)
-        dvpad_ref[...] = jnp.zeros_like(dvpad_ref)
-        dgk_ref[...] = jnp.zeros_like(dgk_ref)
-        dgv_ref[...] = jnp.zeros_like(dgv_ref)
-
     in_dtype = q_ref.dtype
-    q = q_ref[0] * jnp.asarray(scale, in_dtype)
-    k_band = kpad_ref[0, pl.ds(i * block_q, band), :]
-    v_band = vpad_ref[0, pl.ds(i * block_q, band), :]
-    key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0
+
+    dkpad_ref[...] = jnp.zeros_like(dkpad_ref)
+    dvpad_ref[...] = jnp.zeros_like(dvpad_ref)
+
     gk = gk_ref[0].astype(jnp.float32)
     gv = gv_ref[0].astype(jnp.float32)
     g_ok = gvalid_ref[0, 0, :] != 0
-    dout = dout_ref[0].astype(in_dtype)  # (block_q, D)
+    win_mask = _band_iota_mask(block_q, band, half)
+    dgk_acc = jnp.zeros((num_globals, q_ref.shape[-1]), jnp.float32)
+    dgv_acc = jnp.zeros((num_globals, q_ref.shape[-1]), jnp.float32)
 
-    # recompute probabilities
-    scores = jax.lax.dot_general(q, k_band, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    allowed = _band_iota_mask(block_q, band, half) & key_ok[None, :]
-    scores = jnp.where(allowed, scores, NEG_INF)
-    g_scores = jax.lax.dot_general(q.astype(jnp.float32), gk, (((1,), (1,)), ((), ())),
+    for i in range(nb):
+        q = q_ref[0, pl.ds(i * block_q, block_q), :] * jnp.asarray(scale, in_dtype)
+        k_band = kpad_ref[0, pl.ds(i * block_q, band), :]
+        v_band = vpad_ref[0, pl.ds(i * block_q, band), :]
+        key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0
+        dout = dout_ref[0, pl.ds(i * block_q, block_q), :].astype(in_dtype)
+
+        # recompute probabilities
+        scores = jax.lax.dot_general(q, k_band, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        scores = jnp.where(win_mask & key_ok[None, :], scores, NEG_INF)
+        g_scores = jax.lax.dot_general(q.astype(jnp.float32), gk,
+                                       (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
+        all_scores = jnp.concatenate([scores, g_scores], axis=1)
+        m = jnp.max(all_scores, axis=1, keepdims=True)
+        e = jnp.exp(all_scores - m)
+        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+        p = e / denom  # (block_q, band + G)
+
+        # softmax backward
+        dp_band = jax.lax.dot_general(dout, v_band, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dp_g = jax.lax.dot_general(dout.astype(jnp.float32), gv,
+                                   (((1,), (1,)), ((), ())),
                                    preferred_element_type=jnp.float32)
-    g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
-    all_scores = jnp.concatenate([scores, g_scores], axis=1)
-    m = jnp.max(all_scores, axis=1, keepdims=True)
-    e = jnp.exp(all_scores - m)
-    denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
-    p = e / denom  # (block_q, band + G)
+        dp = jnp.concatenate([dp_band, dp_g], axis=1)
+        row_dot = jnp.sum(p * dp, axis=1, keepdims=True)
+        ds = p * (dp - row_dot)  # (bq, band + G)
 
-    # softmax backward
-    dp_band = jax.lax.dot_general(dout, v_band, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)  # (bq, band)
-    dp_g = jax.lax.dot_general(dout.astype(jnp.float32), gv, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # (bq, G)
-    dp = jnp.concatenate([dp_band, dp_g], axis=1)
-    row_dot = jnp.sum(p * dp, axis=1, keepdims=True)
-    ds = p * (dp - row_dot)  # (bq, band + G)
-
-    # dq (scaled): note q was pre-scaled, so dq gets the scale factor
-    ds_c = ds.astype(in_dtype)
-    dq = jax.lax.dot_general(ds_c[:, :band], k_band, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    dq += jax.lax.dot_general(ds[:, band:], gk, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
-
-    # dK/dV band accumulation (revisit same output block across i)
-    dk_band = jax.lax.dot_general(ds_c[:, :band], q, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)  # (band, D)
-    dv_band = jax.lax.dot_general(p[:, :band].astype(in_dtype), dout,
-                                  (((0,), (0,)), ((), ())),
+        ds_c = ds.astype(in_dtype)
+        dq = jax.lax.dot_general(ds_c[:, :band], k_band, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq += jax.lax.dot_general(ds[:, band:], gk, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-    cur_k = dkpad_ref[0, pl.ds(i * block_q, band), :]
-    dkpad_ref[0, pl.ds(i * block_q, band), :] = cur_k + dk_band.astype(dkpad_ref.dtype)
-    cur_v = dvpad_ref[0, pl.ds(i * block_q, band), :]
-    dvpad_ref[0, pl.ds(i * block_q, band), :] = cur_v + dv_band.astype(dvpad_ref.dtype)
+        dq_ref[0, pl.ds(i * block_q, block_q), :] = (dq * scale).astype(dq_ref.dtype)
 
-    dgk = jax.lax.dot_general(ds[:, band:], q.astype(jnp.float32),
-                              (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (G, D)
-    dgv = jax.lax.dot_general(p[:, band:], dout.astype(jnp.float32),
-                              (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    dgk_ref[0] += dgk.astype(dgk_ref.dtype)
-    dgv_ref[0] += dgv.astype(dgv_ref.dtype)
+        dk_band = jax.lax.dot_general(ds_c[:, :band], q, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dv_band = jax.lax.dot_general(p[:, :band].astype(in_dtype), dout,
+                                      (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        cur_k = dkpad_ref[0, pl.ds(i * block_q, band), :]
+        dkpad_ref[0, pl.ds(i * block_q, band), :] = cur_k + dk_band.astype(dkpad_ref.dtype)
+        cur_v = dvpad_ref[0, pl.ds(i * block_q, band), :]
+        dvpad_ref[0, pl.ds(i * block_q, band), :] = cur_v + dv_band.astype(dvpad_ref.dtype)
+
+        dgk_acc += jax.lax.dot_general(ds[:, band:], q.astype(jnp.float32),
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        dgv_acc += jax.lax.dot_general(p[:, band:], dout.astype(jnp.float32),
+                                       (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+    dgk_ref[0] = dgk_acc.astype(dgk_ref.dtype)
+    dgv_ref[0] = dgv_acc.astype(dgv_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -189,21 +194,22 @@ def _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
     W = window
     scale = 1.0 / (D ** 0.5)
     kernel = functools.partial(
-        _fwd_kernel, block_q=block_q, window=window, num_globals=num_globals, scale=scale
+        _fwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
+        scale=scale, nb=nb,
     )
     return pl.pallas_call(
         kernel,
-        grid=(BH, nb),
+        grid=(BH,),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, L + W, 1), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, num_globals), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, num_globals, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, num_globals, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, num_globals), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+        out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, L, D), jnp.float32),
         interpret=interpret,
     )(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3)
@@ -216,7 +222,8 @@ def _band_core_bwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3,
     W = window
     scale = 1.0 / (D ** 0.5)
     kernel = functools.partial(
-        _bwd_kernel, block_q=block_q, window=window, num_globals=num_globals, scale=scale
+        _bwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
+        scale=scale, nb=nb,
     )
     out_shapes = (
         jax.ShapeDtypeStruct((BH, L, D), jnp.float32),       # dq
@@ -225,25 +232,26 @@ def _band_core_bwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3,
         jax.ShapeDtypeStruct((BH, num_globals, D), jnp.float32),  # dgk
         jax.ShapeDtypeStruct((BH, num_globals, D), jnp.float32),  # dgv
     )
+    row = lambda b: (b, 0, 0)
     return pl.pallas_call(
         kernel,
-        grid=(BH, nb),
+        grid=(BH,),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, L + W, 1), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, 1, num_globals), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
+            pl.BlockSpec((1, L, D), row),
+            pl.BlockSpec((1, L + W, D), row),
+            pl.BlockSpec((1, L + W, D), row),
+            pl.BlockSpec((1, L + W, 1), row),
+            pl.BlockSpec((1, num_globals, D), row),
+            pl.BlockSpec((1, num_globals, D), row),
+            pl.BlockSpec((1, 1, num_globals), row),
+            pl.BlockSpec((1, L, D), row),
         ],
         out_specs=(
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0)),
-            pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, L + W, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
-            pl.BlockSpec((1, num_globals, D), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec((1, L, D), row),
+            pl.BlockSpec((1, L + W, D), row),
+            pl.BlockSpec((1, L + W, D), row),
+            pl.BlockSpec((1, num_globals, D), row),
+            pl.BlockSpec((1, num_globals, D), row),
         ),
         out_shape=out_shapes,
         interpret=interpret,
