@@ -137,3 +137,22 @@ def test_backbone_with_pallas_embed_matches_xla():
     h1, p1 = model_a.apply(params, **batch)
     h2, p2 = model_b.apply(params, **batch)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_item_tower_shape():
+    """L=32, window=16 (band == L+W) — the item-tower case where one query
+    block covers the whole row."""
+    q, k, v, qg, kg, vg, mask = make_inputs(jax.random.PRNGKey(7), L=32, n_pad=(0, 9))
+    ref = dense_attention(q, k, v, qg, kg, vg, mask, 16)
+    out = pallas_window_attention(q, k, v, qg, kg, vg, mask, 16, block_q=32,
+                                  interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_window_larger_than_block():
+    """window > block_q: band wider than 2 blocks."""
+    q, k, v, qg, kg, vg, mask = make_inputs(jax.random.PRNGKey(8), L=64)
+    ref = dense_attention(q, k, v, qg, kg, vg, mask, 32)
+    out = pallas_window_attention(q, k, v, qg, kg, vg, mask, 32, block_q=16,
+                                  interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
