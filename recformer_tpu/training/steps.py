@@ -63,7 +63,10 @@ def _jit(fn, mesh, in_shardings=None, out_shardings=None):
 # ---------------------------------------------------------------------------
 
 def make_pretrain_step(config: RecformerConfig, model, axis_name: Optional[str] = None,
-                       mesh: Optional[Mesh] = None):
+                       mesh: Optional[Mesh] = None, zero: bool = False):
+    """``zero=True`` leaves the train-state shardings unspecified so a state
+    prepared with ``parallel.mesh.shard_optimizer_state`` keeps its ZeRO-style
+    sharded optimizer leaves (GSPMD gathers/scatters around the update).""" 
     """Returns step(state, rng, table, item_ids, seq_lens) -> (state, metrics).
 
     One step = device-side pair sampling + MLM, 4 encoder passes (two views +
@@ -104,9 +107,10 @@ def make_pretrain_step(config: RecformerConfig, model, axis_name: Optional[str] 
         return _local_grad_pretrain_step(config, model, mesh)
 
     rep, data, _ = _shardings(mesh)
+    state_sh = None if zero else rep  # None => keep the input's committed sharding
     return _jit(step, mesh,
-                in_shardings=(rep, rep, rep, data, data),
-                out_shardings=(rep, rep))
+                in_shardings=(state_sh, rep, rep, data, data),
+                out_shardings=(state_sh, rep))
 
 
 def _local_grad_pretrain_step(config: RecformerConfig, model, mesh: Mesh):
