@@ -255,8 +255,10 @@ def test_zero_sharded_optimizer_matches_replicated():
     # under test
     for a, b in zip(jax.tree.leaves(s_rep.params), jax.tree.leaves(s_zero.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=1e-4)
-    # optimizer state is actually sharded
-    from jax.sharding import PartitionSpec
-    sharded_leaves = [l for l in jax.tree.leaves(s_zero.opt_state)
-                      if hasattr(l, "sharding") and l.sharding.spec == PartitionSpec("data")]
+    # optimizer state is actually sharded (not fully replicated)
+    sharded_leaves = [
+        l for l in jax.tree.leaves(s_zero.opt_state)
+        if hasattr(l, "sharding") and getattr(l, "size", 0) >= 1024
+        and not l.sharding.is_fully_replicated
+    ]
     assert len(sharded_leaves) > 0
