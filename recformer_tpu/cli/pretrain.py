@@ -70,6 +70,8 @@ def parse_args(argv=None):
     p.add_argument("--scan_layers", action="store_true", default=None,
                    help="stacked lax.scan encoder layers (faster compiles)")
     p.add_argument("--remat", action="store_true", default=None)
+    p.add_argument("--zero", action="store_true",
+                   help="ZeRO-1-style optimizer-state sharding over the data axis")
     p.add_argument("--fix_word_embedding", action="store_true")
     p.add_argument("--valid_step_interval", type=int, default=2000)
     p.add_argument("--resume", action="store_true",
@@ -159,7 +161,11 @@ def main(argv=None):
     if args.resume and os.path.isdir(state_dir):
         state = restore_train_state(state_dir, state)
         print(f"[pretrain] resumed at step {int(state.step)}")
-    step = make_pretrain_step(config, model, mesh=mesh)
+    if args.zero and mesh is not None:
+        from ..parallel.mesh import shard_optimizer_state
+
+        state = shard_optimizer_state(state, mesh)
+    step = make_pretrain_step(config, model, mesh=mesh, zero=args.zero)
     multi_step = make_multi_step(step, args.steps_per_call) if args.steps_per_call > 1 else None
     eval_step = make_pretrain_eval_step(config, model, mesh=mesh)
 
