@@ -25,7 +25,12 @@ import numpy as np
 from ..data.datasets import SequenceDataset
 from ..models.heads import RecformerForPretraining
 from ..parallel.mesh import make_mesh
-from ..training.checkpoint import restore_train_state, save_params, save_train_state
+from ..training.checkpoint import (
+    TopKCheckpointManager,
+    restore_train_state,
+    save_params,
+    save_train_state,
+)
 from ..training.metrics import AverageMeterSet
 from ..training.optimizer import create_optimizer
 from ..training.steps import (
@@ -70,6 +75,7 @@ def parse_args(argv=None):
     p.add_argument("--scan_layers", action="store_true", default=None,
                    help="stacked lax.scan encoder layers (faster compiles)")
     p.add_argument("--remat", action="store_true", default=None)
+    p.add_argument("--save_top_k", type=int, default=5)
     p.add_argument("--zero", action="store_true",
                    help="ZeRO-1-style optimizer-state sharding over the data axis")
     p.add_argument("--fix_word_embedding", action="store_true")
@@ -172,6 +178,8 @@ def main(argv=None):
     rng = jax.random.PRNGKey(args.seed)
     best_acc = -1.0
     os.makedirs(args.output_dir, exist_ok=True)
+    topk = TopKCheckpointManager(os.path.join(args.output_dir, "topk"),
+                                 k=args.save_top_k, mode="max")
     logger = MetricsLogger(args.log_dir or os.path.join(args.output_dir, "logs"))
     meters = AverageMeterSet()
     global_step = 0
@@ -217,11 +225,13 @@ def main(argv=None):
                     acc = _validate(eval_step, state, rng, table, dev_ds, global_batch)
                     logger.log(global_step, {"dev_accuracy": acc})
                     print(f"[pretrain] dev accuracy {acc:.4f}")
+                    topk.save(state.params, global_step, acc)
                     if acc > best_acc:
                         best_acc = acc
                         save_params(os.path.join(args.output_dir, "best"), state.params)
             acc = _validate(eval_step, state, rng, table, dev_ds, global_batch)
             print(f"[pretrain] epoch {epoch} dev accuracy {acc:.4f}")
+            topk.save(state.params, global_step, acc)
             if acc > best_acc:
                 best_acc = acc
                 save_params(os.path.join(args.output_dir, "best"), state.params)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -300,6 +300,51 @@ def restore_train_state(path: str, state):
         ),
         step=int(payload["step"]),
     )
+
+
+class TopKCheckpointManager:
+    """Keep the k best checkpoints by a monitored metric (reference:
+    Lightning ``ModelCheckpoint(save_top_k=5, monitor='accuracy', mode='max')``
+    at ``lightning_pretrain.py:127-132``). Checkpoints are orbax dirs named
+    ``step{N}_m{metric:.6f}``; the worst is pruned when over capacity."""
+
+    def __init__(self, root: str, k: int = 5, mode: str = "max"):
+        assert mode in ("max", "min")
+        self.root = root
+        self.k = k
+        self.mode = mode
+        os.makedirs(root, exist_ok=True)
+        self._entries: List[Tuple[float, str]] = []
+        for name in os.listdir(root):
+            m = re.fullmatch(r"step\d+_m(-?[\d.]+)", name)
+            if m:
+                self._entries.append((float(m.group(1)), os.path.join(root, name)))
+
+    def _worse(self, a: float, b: float) -> bool:
+        return a < b if self.mode == "max" else a > b
+
+    def save(self, params, step: int, metric: float) -> Optional[str]:
+        """Save if the metric makes the top-k; returns the path or None."""
+        if len(self._entries) >= self.k:
+            worst = min(self._entries, key=lambda e: e[0] if self.mode == "max" else -e[0])
+            if self._worse(metric, worst[0]):
+                return None
+        path = os.path.join(self.root, f"step{step}_m{metric:.6f}")
+        save_params(path, params)
+        self._entries.append((metric, path))
+        while len(self._entries) > self.k:
+            worst = min(self._entries, key=lambda e: e[0] if self.mode == "max" else -e[0])
+            self._entries.remove(worst)
+            import shutil
+
+            shutil.rmtree(worst[1], ignore_errors=True)
+        return path
+
+    def best_path(self) -> Optional[str]:
+        if not self._entries:
+            return None
+        best = max(self._entries, key=lambda e: e[0] if self.mode == "max" else -e[0])
+        return best[1]
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:

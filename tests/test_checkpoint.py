@@ -212,3 +212,25 @@ def test_torch_import_into_scan_layers(cfg):
     np.testing.assert_allclose(
         q[1], sd["longformer.encoder.layer.1.attention.self.query.weight"].T,
         rtol=1e-6)
+
+
+def test_topk_checkpoint_manager(tmp_path, params):
+    import os
+
+    from recformer_tpu.training.checkpoint import TopKCheckpointManager
+
+    small = {"w": np.ones(3)}
+    mgr = TopKCheckpointManager(str(tmp_path / "topk"), k=2, mode="max")
+    assert mgr.save(small, 1, 0.5) is not None
+    assert mgr.save(small, 2, 0.7) is not None
+    assert mgr.save(small, 3, 0.3) is None  # worse than both, at capacity
+    p = mgr.save(small, 4, 0.9)
+    assert p is not None
+    kept = sorted(os.listdir(tmp_path / "topk"))
+    assert len(kept) == 2
+    assert any("0.900000" in k for k in kept)
+    assert any("0.700000" in k for k in kept)
+    assert "0.900000" in mgr.best_path()
+    # reload from disk
+    mgr2 = TopKCheckpointManager(str(tmp_path / "topk"), k=2, mode="max")
+    assert "0.900000" in mgr2.best_path()
