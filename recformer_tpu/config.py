@@ -171,7 +171,12 @@ class RecformerConfig:
     def base(cls, **kw) -> "RecformerConfig":
         """The canonical recipe used by every reference driver
         (``/root/reference/finetune.py:202-209``): longformer-base backbone,
-        window 64, 1024 tokens, 51 item positions, 3x32 attributes."""
+        window 64, 1024 tokens, 51 item positions, 3x32 attributes.
+
+        Defaults to the fused Pallas attention kernel (measured ~20% faster
+        end-to-end than the XLA sliding-chunks path on v5e); pass
+        ``attention_impl='chunked'`` to run this config on CPU."""
+        kw.setdefault("attention_impl", "pallas")
         return cls(**kw)
 
     @classmethod
