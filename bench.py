@@ -93,18 +93,21 @@ def bench_encode(cfg, table, item_ids, seq_lens, steps, batch_size):
     params = model.init(jax.random.PRNGKey(0), dummy)
     step = make_encode_items_step(cfg, model)
     n_items = int(table["lengths"].shape[0]) - 1
-    chunk = jnp.asarray(
-        np.random.default_rng(0).integers(0, n_items, size=batch_size).astype(np.int32))
+    # DIFFERENT chunk per scan step: a loop-invariant body would be hoisted
+    # out of the scan by XLA and the measurement would be fiction
+    chunks = jnp.asarray(np.random.default_rng(0).integers(
+        0, n_items, size=(steps, batch_size)).astype(np.int32))
 
     @jax.jit
-    def run_n(params, table, chunk):
-        def body(c, _):
-            emb = step(params, table, c)
-            return c, emb.sum()
+    def run_n(params, table, chunks):
+        def body(c, chunk):
+            emb = step(params, table, chunk)
+            return c + emb.astype(jnp.float32).sum(), None
 
-        return jax.lax.scan(body, chunk, None, length=steps)
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), chunks)
+        return acc
 
-    dt = _timed(run_n, params, table, chunk)
+    dt = _timed(run_n, params, table, chunks)
     return steps * batch_size / dt, "item_encode_items_per_sec_per_chip", "items/s/chip"
 
 
@@ -121,20 +124,26 @@ def bench_eval(cfg, table, item_ids, seq_lens, steps, n_items):
     params = model.init(jax.random.PRNGKey(0), dummy)
     step = make_eval_step(cfg, model)
     B = item_ids.shape[0]
+    S_in = item_ids.shape[1]
     rng = np.random.default_rng(0)
-    labels = jnp.asarray(rng.integers(0, n_items, size=B).astype(np.int32))
+    # different batch per scan step (see bench_encode on LICM)
+    ids_stack = jnp.asarray(rng.integers(0, n_items, size=(steps, B, S_in)).astype(np.int32))
+    lens_stack = jnp.asarray(rng.integers(S_in // 2, S_in + 1, size=(steps, B)).astype(np.int32))
+    labels_stack = jnp.asarray(rng.integers(0, n_items, size=(steps, B)).astype(np.int32))
     valid = jnp.ones(B, bool)
     item_emb = jnp.asarray(rng.standard_normal((n_items, cfg.hidden_size)).astype(np.float32))
 
     @jax.jit
-    def run_n(params, table, item_ids, seq_lens, labels, valid, item_emb):
-        def body(c, _):
-            out = step(params, table, item_ids, seq_lens, labels, valid, item_emb)
-            return c, out["NDCG@10"]
+    def run_n(params, table, ids_stack, lens_stack, labels_stack, valid, item_emb):
+        def body(c, xs):
+            ids, lens, labels = xs
+            out = step(params, table, ids, lens, labels, valid, item_emb)
+            return c + out["NDCG@10"], None
 
-        return jax.lax.scan(body, jnp.zeros(()), None, length=steps)
+        acc, _ = jax.lax.scan(body, jnp.zeros(()), (ids_stack, lens_stack, labels_stack))
+        return acc
 
-    dt = _timed(run_n, params, table, item_ids, seq_lens, labels, valid, item_emb)
+    dt = _timed(run_n, params, table, ids_stack, lens_stack, labels_stack, valid, item_emb)
     return steps * B / dt, "eval_users_per_sec_per_chip", "users/s/chip"
 
 

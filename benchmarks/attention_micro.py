@@ -30,14 +30,19 @@ from recformer_tpu.ops.pallas_attention import pallas_window_attention
 
 
 def timed_scan(fn, iters, *args):
+    """Each iteration's first operand is perturbed by the previous output so
+    the body is NOT loop-invariant (XLA would hoist an invariant body out of
+    the scan and the measurement would be fiction)."""
+
     @jax.jit
     def run(*a):
         def body(c, _):
-            out = fn(*a)
-            return c + out.astype(jnp.float32).sum(), None
+            first = a[0] + c.astype(a[0].dtype)
+            out = fn(first, *a[1:])
+            return out.astype(jnp.float32).ravel()[0] * 1e-30, None
 
-        acc, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
-        return acc
+        final_c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
+        return final_c
 
     np.asarray(run(*args))  # compile + warm
     t0 = time.perf_counter()
