@@ -64,14 +64,16 @@ def _jit(fn, mesh, in_shardings=None, out_shardings=None):
 
 def make_pretrain_step(config: RecformerConfig, model, axis_name: Optional[str] = None,
                        mesh: Optional[Mesh] = None, zero: bool = False):
-    """``zero=True`` leaves the train-state shardings unspecified so a state
-    prepared with ``parallel.mesh.shard_optimizer_state`` keeps its ZeRO-style
-    sharded optimizer leaves (GSPMD gathers/scatters around the update).""" 
     """Returns step(state, rng, table, item_ids, seq_lens) -> (state, metrics).
 
     One step = device-side pair sampling + MLM, 4 encoder passes (two views +
-    two MLM towers), InfoNCE over the (global) batch + mlm_weight * MLM CE —
-    reference ``models.py:382-520`` + ``collator.py:17-52``.
+    two MLM towers, fused pairwise), InfoNCE over the (global) batch +
+    mlm_weight * MLM CE — reference ``models.py:382-520`` +
+    ``collator.py:17-52``.
+
+    ``zero=True`` leaves the train-state shardings unspecified so a state
+    prepared with ``parallel.mesh.shard_optimizer_state`` keeps its ZeRO-style
+    sharded optimizer leaves (GSPMD gathers/scatters around the update).
     """
 
     def loss_fn(params, rng, batch_a, batch_b):
