@@ -242,15 +242,18 @@ def main(argv=None):
 
 
 def _validate(eval_step, state, rng, table, dev_ds, batch_size, max_batches=50):
-    correct = total = 0.0
+    correct = total = None
     for i, batch in enumerate(dev_ds.batches(batch_size, drop_last=True)):
         if i >= max_batches:
             break
         out = eval_step(state.params, jax.random.fold_in(rng, i), table,
                         jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens))
-        correct += float(out["cl_correct"])
-        total += float(out["cl_total"])
-    return correct / max(total, 1.0)
+        # device-side accumulation; one host transfer at the end
+        correct = out["cl_correct"] if correct is None else correct + out["cl_correct"]
+        total = out["cl_total"] if total is None else total + out["cl_total"]
+    if total is None:
+        return 0.0
+    return float(correct) / max(float(total), 1.0)
 
 
 class _nullcontext:

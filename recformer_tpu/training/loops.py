@@ -48,16 +48,18 @@ def evaluate_seqrec(params, model, table, dataset: EvalDataset, item_embeddings,
                     ks: Sequence[int] = (10, 50)) -> Dict[str, float]:
     """Full-catalog ranked evaluation; exact (sum/count) aggregation."""
     step = make_eval_step(config, model, ks=ks)
-    sums: Dict[str, float] = {}
-    count = 0.0
+    # accumulate on device; a single host transfer at the end (per-batch
+    # float() would cost one relay round-trip each)
+    totals = None
     for batch in dataset.batches(batch_size):
         out = step(params, table, jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens),
                    jnp.asarray(batch.labels), jnp.asarray(batch.valid), item_embeddings)
-        out = {k: float(v) for k, v in out.items()}
-        count += out.pop("count")
-        for k, v in out.items():
-            sums[k] = sums.get(k, 0.0) + v
-    return {k: v / max(count, 1.0) for k, v in sums.items()}
+        totals = out if totals is None else jax.tree.map(jnp.add, totals, out)
+    if totals is None:
+        return {}
+    totals = {k: float(v) for k, v in totals.items()}
+    count = totals.pop("count")
+    return {k: v / max(count, 1.0) for k, v in totals.items()}
 
 
 def evaluate_seqrec_sharded(params, model, table, dataset: EvalDataset, item_embeddings,
