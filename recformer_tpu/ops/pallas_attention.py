@@ -210,7 +210,7 @@ def _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
             pl.BlockSpec((1, 1, num_globals), lambda b: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, L, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BH, L, D), q3.dtype),
         interpret=interpret,
     )(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3)
 
@@ -226,7 +226,8 @@ def _band_core_bwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3,
         scale=scale, nb=nb,
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((BH, L, D), jnp.float32),       # dq
+        jax.ShapeDtypeStruct((BH, L, D), q3.dtype),          # dq
+        # dK/dV accumulate across overlapping bands: keep fp32 accumulators
         jax.ShapeDtypeStruct((BH, L + W, D), jnp.float32),   # dkpad
         jax.ShapeDtypeStruct((BH, L + W, D), jnp.float32),   # dvpad
         jax.ShapeDtypeStruct((BH, num_globals, D), jnp.float32),  # dgk
