@@ -181,9 +181,12 @@ def make_multi_step(step_fn, n_steps: int, metric_key: str = "loss"):
     stacked_seq_lens (n, B), *extras) -> (state, metric trace (n,)).
 
     Amortizes host->device dispatch (one launch per n steps) — the TPU-native
-    replacement for the reference's per-batch Python training loop."""
+    replacement for the reference's per-batch Python training loop. The input
+    state is donated (callers always rebind), halving peak state memory."""
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=0)
     def run(state, rng, table, item_ids_stack, seq_lens_stack, *extras):
         def body(s, xs):
             ids, lens = xs
