@@ -271,3 +271,24 @@ def test_finetune_full_softmax_path(world):
                           jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens),
                           item_emb)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_scan_layers_remat_trains(world):
+    """scan_layers + remat (the recommended production pairing) trains."""
+    cfg, table, user2train, *_ = world
+    cfg = cfg.replace(scan_layers=True, remat=True)
+    model = RecformerForPretraining(cfg)
+    ds = SequenceDataset(user2train, max_items=16)
+    batch = next(ds.batches(8, drop_last=True))
+    item_ids = jnp.asarray(batch.item_ids)
+    seq_lens = jnp.asarray(batch.seq_lens)
+    from recformer_tpu.data.device_pipeline import make_pretrain_batch
+
+    ba, bb = make_pretrain_batch(jax.random.PRNGKey(0), table, item_ids, seq_lens, cfg)
+    params = model.init(jax.random.PRNGKey(0), ba, bb)
+    tx = create_optimizer(learning_rate=1e-3, warmup_steps=1, total_steps=10)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_pretrain_step(cfg, model)
+    for _ in range(2):
+        state, metrics = step(state, jax.random.PRNGKey(1), table, item_ids, seq_lens)
+    assert np.isfinite(float(metrics["loss"]))
