@@ -134,6 +134,13 @@ class RecformerConfig:
             raise ValueError("item_seq_len must be a multiple of the largest attention window")
         if self.hidden_size % self.num_attention_heads:
             raise ValueError("hidden_size must be divisible by num_attention_heads")
+        # padding-aware position ids run up to max_token_num + pad_token_id + 1
+        if self.max_token_num + self.pad_token_id + 1 > self.max_position_embeddings:
+            raise ValueError(
+                f"max_token_num={self.max_token_num} needs at least "
+                f"{self.max_token_num + self.pad_token_id + 1} position embeddings, "
+                f"got {self.max_position_embeddings}"
+            )
         if self.pooler_type not in ("cls", "avg"):
             raise ValueError(f"unknown pooler_type {self.pooler_type!r}")
         if self.attention_impl not in ("dense", "chunked", "pallas"):

@@ -166,3 +166,25 @@ def test_stack_unstack_roundtrip(cfg, batch):
     assert a.keys() == b.keys()
     for k in a:
         np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_full_4096_context_config():
+    """North-star config #5: full 4096-token context compiles and runs
+    (backbone positions top out at 4098 like the reference's Longformer)."""
+    cfg = RecformerConfig.tiny(
+        max_token_num=4096, max_item_embeddings=200, item_seq_len=32,
+        attention_window=(16, 16), hidden_dropout_prob=0.0,
+        max_position_embeddings=4100,
+    )
+    model = RecformerModel(cfg)
+    b = {
+        k: jnp.zeros((1, 4096), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    b["attention_mask"] = b["attention_mask"].at[:, :4096].set(1)
+    b["global_attention_mask"] = b["global_attention_mask"].at[:, 0].set(1)
+    params = model.init(jax.random.PRNGKey(0), **b)
+    hidden, pooled = model.apply(params, **b)
+    assert hidden.shape == (1, 4096, cfg.hidden_size)
+    assert np.isfinite(np.asarray(pooled)).all()
