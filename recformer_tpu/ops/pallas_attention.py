@@ -62,15 +62,15 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     half = window // 2
     band = block_q + window
     in_dtype = q_ref.dtype
-    gk = gk_ref[0, :, 0, :].astype(jnp.float32)  # (G, D)
-    gv = gv_ref[0, :, 0, :].astype(jnp.float32)
+    gk = gk_ref[0].astype(jnp.float32)  # (G, D)
+    gv = gv_ref[0].astype(jnp.float32)
     g_ok = gvalid_ref[0, 0, :] != 0
     win_mask = _band_iota_mask(block_q, band, half)
 
     for i in range(nb):
-        q = q_ref[0, pl.ds(i * block_q, block_q), 0, :] * jnp.asarray(scale, in_dtype)
-        k_band = kpad_ref[0, pl.ds(i * block_q, band), 0, :]  # (band, D)
-        v_band = vpad_ref[0, pl.ds(i * block_q, band), 0, :]
+        q = q_ref[0, pl.ds(i * block_q, block_q), :] * jnp.asarray(scale, in_dtype)
+        k_band = kpad_ref[0, pl.ds(i * block_q, band), :]  # (band, D)
+        v_band = vpad_ref[0, pl.ds(i * block_q, band), :]
         key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0  # (band,)
 
         scores = jax.lax.dot_general(
@@ -98,7 +98,7 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
             p[:, band:], gv, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        out_ref[0, pl.ds(i * block_q, block_q), :, :] = out.astype(out_ref.dtype)[:, None, :]
+        out_ref[0, pl.ds(i * block_q, block_q), :] = out.astype(out_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -117,19 +117,19 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     dkpad_ref[...] = jnp.zeros_like(dkpad_ref)
     dvpad_ref[...] = jnp.zeros_like(dvpad_ref)
 
-    gk = gk_ref[0, :, 0, :].astype(jnp.float32)
-    gv = gv_ref[0, :, 0, :].astype(jnp.float32)
+    gk = gk_ref[0].astype(jnp.float32)
+    gv = gv_ref[0].astype(jnp.float32)
     g_ok = gvalid_ref[0, 0, :] != 0
     win_mask = _band_iota_mask(block_q, band, half)
     dgk_acc = jnp.zeros((num_globals, q_ref.shape[-1]), jnp.float32)
     dgv_acc = jnp.zeros((num_globals, q_ref.shape[-1]), jnp.float32)
 
     for i in range(nb):
-        q = q_ref[0, pl.ds(i * block_q, block_q), 0, :] * jnp.asarray(scale, in_dtype)
-        k_band = kpad_ref[0, pl.ds(i * block_q, band), 0, :]
-        v_band = vpad_ref[0, pl.ds(i * block_q, band), 0, :]
+        q = q_ref[0, pl.ds(i * block_q, block_q), :] * jnp.asarray(scale, in_dtype)
+        k_band = kpad_ref[0, pl.ds(i * block_q, band), :]
+        v_band = vpad_ref[0, pl.ds(i * block_q, band), :]
         key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0
-        dout = dout_ref[0, pl.ds(i * block_q, block_q), 0, :].astype(in_dtype)
+        dout = dout_ref[0, pl.ds(i * block_q, block_q), :].astype(in_dtype)
 
         # recompute probabilities
         scores = jax.lax.dot_general(q, k_band, (((1,), (1,)), ((), ())),
@@ -160,20 +160,17 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
                                  preferred_element_type=jnp.float32)
         dq += jax.lax.dot_general(ds[:, band:], gk, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        dq_ref[0, pl.ds(i * block_q, block_q), :, :] = (
-            (dq * scale).astype(dq_ref.dtype)[:, None, :])
+        dq_ref[0, pl.ds(i * block_q, block_q), :] = (dq * scale).astype(dq_ref.dtype)
 
         dk_band = jax.lax.dot_general(ds_c[:, :band], q, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dv_band = jax.lax.dot_general(p[:, :band].astype(in_dtype), dout,
                                       (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        cur_k = dkpad_ref[0, pl.ds(i * block_q, band), 0, :]  # (band, D)
-        dkpad_ref[0, pl.ds(i * block_q, band), :, :] = (
-            cur_k + dk_band.astype(dkpad_ref.dtype))[:, None, :]
-        cur_v = dvpad_ref[0, pl.ds(i * block_q, band), 0, :]
-        dvpad_ref[0, pl.ds(i * block_q, band), :, :] = (
-            cur_v + dv_band.astype(dvpad_ref.dtype))[:, None, :]
+        cur_k = dkpad_ref[0, pl.ds(i * block_q, band), :]
+        dkpad_ref[0, pl.ds(i * block_q, band), :] = cur_k + dk_band.astype(dkpad_ref.dtype)
+        cur_v = dvpad_ref[0, pl.ds(i * block_q, band), :]
+        dvpad_ref[0, pl.ds(i * block_q, band), :] = cur_v + dv_band.astype(dvpad_ref.dtype)
 
         dgk_acc += jax.lax.dot_general(ds[:, band:], q.astype(jnp.float32),
                                        (((0,), (0,)), ((), ())),
@@ -182,20 +179,19 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
                                        (((0,), (0,)), ((), ())),
                                        preferred_element_type=jnp.float32)
 
-    dgk_ref[0, :, :, :] = dgk_acc.astype(dgk_ref.dtype)[:, None, :]
-    dgv_ref[0, :, :, :] = dgv_acc.astype(dgv_ref.dtype)[:, None, :]
+    dgk_ref[0] = dgk_acc.astype(dgk_ref.dtype)
+    dgv_ref[0] = dgv_acc.astype(dgv_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrappers over (BH, L, D)-shaped operands
 # ---------------------------------------------------------------------------
 
-def _band_core_fwd_call(q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid,
+def _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
                         *, block_q, window, num_globals, interpret):
-    B, L, H, D = q4.shape
+    BH, L, D = q3.shape
     nb = L // block_q
     W = window
-    G = num_globals
     scale = 1.0 / (D ** 0.5)
     kernel = functools.partial(
         _fwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
@@ -203,66 +199,64 @@ def _band_core_fwd_call(q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid,
     )
     return pl.pallas_call(
         kernel,
-        grid=(B, H),
+        grid=(BH,),
         in_specs=[
-            pl.BlockSpec((1, L, 1, D), lambda b, h: (b, 0, h, 0)),
-            pl.BlockSpec((1, L + W, 1, D), lambda b, h: (b, 0, h, 0)),
-            pl.BlockSpec((1, L + W, 1, D), lambda b, h: (b, 0, h, 0)),
-            pl.BlockSpec((1, L + W, 1), lambda b, h: (b, 0, 0)),
-            pl.BlockSpec((1, G, 1, D), lambda b, h: (b, 0, h, 0)),
-            pl.BlockSpec((1, G, 1, D), lambda b, h: (b, 0, h, 0)),
-            pl.BlockSpec((1, 1, G), lambda b, h: (b, 0, 0)),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, 1), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, num_globals, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, num_globals, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, num_globals), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, L, 1, D), lambda b, h: (b, 0, h, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L, H, D), q4.dtype),
+        out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, L, D), q3.dtype),
         interpret=interpret,
-    )(q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid)
+    )(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3)
 
 
-def _band_core_bwd_call(q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid, dout4,
+def _band_core_bwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3,
                         *, block_q, window, num_globals, interpret):
-    B, L, H, D = q4.shape
+    BH, L, D = q3.shape
     nb = L // block_q
     W = window
-    G = num_globals
     scale = 1.0 / (D ** 0.5)
     kernel = functools.partial(
         _bwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
         scale=scale, nb=nb,
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((B, L, H, D), q4.dtype),            # dq
+        jax.ShapeDtypeStruct((BH, L, D), q3.dtype),          # dq
         # dK/dV accumulate across overlapping bands: keep fp32 accumulators
-        jax.ShapeDtypeStruct((B, L + W, H, D), jnp.float32),     # dkpad
-        jax.ShapeDtypeStruct((B, L + W, H, D), jnp.float32),     # dvpad
-        jax.ShapeDtypeStruct((B, G, H, D), jnp.float32),         # dgk
-        jax.ShapeDtypeStruct((B, G, H, D), jnp.float32),         # dgv
+        jax.ShapeDtypeStruct((BH, L + W, D), jnp.float32),   # dkpad
+        jax.ShapeDtypeStruct((BH, L + W, D), jnp.float32),   # dvpad
+        jax.ShapeDtypeStruct((BH, num_globals, D), jnp.float32),  # dgk
+        jax.ShapeDtypeStruct((BH, num_globals, D), jnp.float32),  # dgv
     )
-    head = lambda b, h: (b, 0, h, 0)
-    shared = lambda b, h: (b, 0, 0)
+    row = lambda b: (b, 0, 0)
     return pl.pallas_call(
         kernel,
-        grid=(B, H),
+        grid=(BH,),
         in_specs=[
-            pl.BlockSpec((1, L, 1, D), head),
-            pl.BlockSpec((1, L + W, 1, D), head),
-            pl.BlockSpec((1, L + W, 1, D), head),
-            pl.BlockSpec((1, L + W, 1), shared),
-            pl.BlockSpec((1, G, 1, D), head),
-            pl.BlockSpec((1, G, 1, D), head),
-            pl.BlockSpec((1, 1, G), shared),
-            pl.BlockSpec((1, L, 1, D), head),
+            pl.BlockSpec((1, L, D), row),
+            pl.BlockSpec((1, L + W, D), row),
+            pl.BlockSpec((1, L + W, D), row),
+            pl.BlockSpec((1, L + W, 1), row),
+            pl.BlockSpec((1, num_globals, D), row),
+            pl.BlockSpec((1, num_globals, D), row),
+            pl.BlockSpec((1, 1, num_globals), row),
+            pl.BlockSpec((1, L, D), row),
         ],
         out_specs=(
-            pl.BlockSpec((1, L, 1, D), head),
-            pl.BlockSpec((1, L + W, 1, D), head),
-            pl.BlockSpec((1, L + W, 1, D), head),
-            pl.BlockSpec((1, G, 1, D), head),
-            pl.BlockSpec((1, G, 1, D), head),
+            pl.BlockSpec((1, L, D), row),
+            pl.BlockSpec((1, L + W, D), row),
+            pl.BlockSpec((1, L + W, D), row),
+            pl.BlockSpec((1, num_globals, D), row),
+            pl.BlockSpec((1, num_globals, D), row),
         ),
         out_shape=out_shapes,
         interpret=interpret,
-    )(q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid, dout4)
+    )(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
@@ -323,22 +317,31 @@ def pallas_window_attention(
     is_pad = mask == 0
     is_global = mask == 2
 
-    # native (B, L, H, D) layout: the kernel grids over (batch, head) and
-    # slices the head dim via BlockSpec, so no transposes are materialized
-    # (the old (B*H, L, D) layout cost ~10% of the train step in copies)
-    kpad = jnp.pad(k, ((0, 0), (half, half), (0, 0), (0, 0)))
-    vpad = jnp.pad(v, ((0, 0), (half, half), (0, 0), (0, 0)))
+    # (B, L, H, D) -> (B*H, L, D)
+    def to3(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, L, D)
+
+    q3 = to3(q)
+    # window-pad K/V by half on both sides
+    kpad = jnp.pad(to3(k), ((0, 0), (half, half), (0, 0)))
+    vpad = jnp.pad(to3(v), ((0, 0), (half, half), (0, 0)))
 
     key_local = (mask == 1).astype(jnp.int32)  # (B, L)
-    keyloc = jnp.pad(key_local, ((0, 0), (half, half)))[:, :, None]  # (B, L+W, 1)
+    keyloc = jnp.pad(key_local, ((0, 0), (half, half)))  # (B, L+W)
+    keyloc3 = jnp.broadcast_to(keyloc[:, None], (B, H, L + W)).reshape(B * H, L + W, 1)
 
     gidx, gvalid = global_prefix_indices(mask, max_globals)  # (B, G)
     gk_sel = jnp.take_along_axis(k, gidx[:, :, None, None], axis=1)  # (B, G, H, D)
     gv_sel = jnp.take_along_axis(v, gidx[:, :, None, None], axis=1)
-    gvalid_i = gvalid.astype(jnp.int32)[:, None, :]  # (B, 1, G)
+    gk3 = gk_sel.transpose(0, 2, 1, 3).reshape(B * H, max_globals, D)
+    gv3 = gv_sel.transpose(0, 2, 1, 3).reshape(B * H, max_globals, D)
+    gvalid3 = jnp.broadcast_to(
+        gvalid.astype(jnp.int32)[:, None, None, :], (B, H, 1, max_globals)
+    ).reshape(B * H, 1, max_globals)
 
-    out = _band_core(q, kpad, vpad, keyloc, gk_sel, gv_sel, gvalid_i,
-                     block_q, window, max_globals, interpret).astype(q.dtype)
+    out3 = _band_core(q3, kpad, vpad, keyloc3, gk3, gv3, gvalid3,
+                      block_q, window, max_globals, interpret)
+    out = out3.reshape(B, H, L, D).transpose(0, 2, 1, 3).astype(q.dtype)
 
     # global query rows (dedicated projections) + padding zeroing
     g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals)
