@@ -191,7 +191,8 @@ def main():
 
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_reference.json")
     key = f"{args.task}-{args.model}-{args.attention}-b{args.batch_size}" + (
-        "-scan" if args.scan_layers else "") + ("-nodrop" if args.no_dropout else "")
+        "-scan" if args.scan_layers else "") + ("-remat" if args.remat else "") + (
+        "-nodrop" if args.no_dropout else "")
     record = {}
     if os.path.exists(ref_path):
         try:
