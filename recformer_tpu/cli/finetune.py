@@ -60,6 +60,8 @@ def parse_args(argv=None):
                    help="stacked lax.scan encoder layers (faster compiles)")
     p.add_argument("--remat", action="store_true", default=None)
     p.add_argument("--steps_per_call", type=int, default=1)
+    p.add_argument("--fix_word_embedding", action="store_true",
+                   help="freeze the word-embedding table (finetune.py:272-275)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -92,6 +94,17 @@ def main(argv=None):
         warmup_steps=args.warmup_steps, total_steps=total,
         grad_accum_steps=args.gradient_accumulation_steps,
     )
+    if args.fix_word_embedding:
+        import optax
+
+        def label_fn(params):
+            def mark(path, _):
+                return "frozen" if any(
+                    getattr(k, "key", None) == "word_embeddings" for k in path
+                ) else "train"
+            return jax.tree_util.tree_map_with_path(mark, params)
+
+        tx = optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()}, label_fn)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
     state, test_metrics = finetune_two_stage(

@@ -187,3 +187,49 @@ def test_serve_driver(artifacts, tmp_path):
     # scores descending
     for r in rows:
         assert r["scores"] == sorted(r["scores"], reverse=True)
+
+
+def test_finetune_fix_word_embedding(artifacts, tmp_path):
+    """--fix_word_embedding keeps the word table bitwise frozen."""
+    import jax
+    import jax.numpy as jnp
+
+    from recformer_tpu.cli.finetune import main
+    from recformer_tpu.training.checkpoint import restore_params
+
+    out = tmp_path / "ckpt_frozen"
+    main([
+        "--data_path", str(artifacts),
+        "--output_dir", str(out),
+        "--model_size", "tiny",
+        "--num_train_epochs", "1",
+        "--batch_size", "8",
+        "--eval_batch_size", "8",
+        "--encode_batch_size", "8",
+        "--verbose", "1",
+        "--gradient_accumulation_steps", "1",
+        "--finetune_negative_sample_size", "5",
+        "--learning_rate", "0.01",
+        "--fix_word_embedding",
+        "--seed", "7",
+    ])
+    name = os.path.basename(os.path.normpath(str(artifacts)))
+    saved = restore_params(str(out / name / "best_model"))
+    # compare against a fresh init with the same seed path: word embeddings
+    # must equal their init (training moved everything else)
+    from recformer_tpu.cli.common import build_config, init_model_params
+    from recformer_tpu.models.heads import RecformerForSeqRec
+    import argparse
+
+    ns = argparse.Namespace(model_size="tiny", temp=0.05,
+                            finetune_negative_sample_size=5, attention_impl=None)
+    cfg = build_config(ns, item_num=25)
+    model = RecformerForSeqRec(cfg)
+    fresh = init_model_params(model, cfg)
+    got = saved["params"]["longformer"]["embeddings"]["word_embeddings"]["embedding"]
+    init = fresh["params"]["longformer"]["embeddings"]["word_embeddings"]["embedding"]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(init))
+    # sanity: some other param moved
+    a = saved["params"]["longformer"]["embeddings"]["item_position_embeddings"]["embedding"]
+    b = fresh["params"]["longformer"]["embeddings"]["item_position_embeddings"]["embedding"]
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
