@@ -58,6 +58,7 @@ def main():
     ap.add_argument("--H", type=int, default=12)
     ap.add_argument("--D", type=int, default=64)
     ap.add_argument("--window", type=int, default=64)
+    ap.add_argument("--block-q", type=int, default=128)
     args = ap.parse_args()
 
     B, L, H, D, W = args.B, args.L, args.H, args.D, args.window
@@ -69,9 +70,10 @@ def main():
     mask[B // 2 :, -128:] = 0
     mask = jnp.asarray(mask)
 
-    out = {}
+    out = {"block_q": args.block_q}
     out["pallas_fwd_ms"] = timed_scan(
-        lambda q, k, v: pallas_window_attention(q, k, v, qg, kg, vg, mask, W),
+        lambda q, k, v: pallas_window_attention(q, k, v, qg, kg, vg, mask, W,
+                                                block_q=args.block_q),
         args.iters, q, k, v)
     out["chunked_fwd_ms"] = timed_scan(
         lambda q, k, v: chunked_attention(q, k, v, qg, kg, vg, mask, W),
@@ -90,7 +92,8 @@ def main():
 
     qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
     out["pallas_fwdbwd_ms"] = timed_scan(
-        grad_of(lambda q, k, v: pallas_window_attention(q, k, v, qg, kg, vg, mask, W)),
+        grad_of(lambda q, k, v: pallas_window_attention(q, k, v, qg, kg, vg, mask, W,
+                                                        block_q=args.block_q)),
         args.iters, qf, kf, vf)
     out["chunked_fwdbwd_ms"] = timed_scan(
         grad_of(lambda q, k, v: chunked_attention(q, k, v, qg, kg, vg, mask, W)),
