@@ -189,7 +189,9 @@ def main(argv=None):
         for epoch in range(args.num_train_epochs):
             pending_ids, pending_lens = [], []
             for batch in train_ds.batches(global_batch, shuffle=True, seed=epoch,
-                                          drop_last=True):
+                                          drop_last=True,
+                                          process_index=jax.process_index(),
+                                          process_count=jax.process_count()):
                 if args.profile_dir and global_step == 10:
                     jax.profiler.start_trace(args.profile_dir)
                 if multi_step is not None:
