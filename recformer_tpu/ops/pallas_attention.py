@@ -50,62 +50,55 @@ def _band_iota_mask(block_q: int, band: int, half: int):
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel (native 4D layout)
+# Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel4(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
-                 out_ref, *, block_q: int, window: int, num_globals: int,
-                 scale: float, nb: int, heads: int):
-    """Native-layout forward: one program per BATCH row, heads and query
-    blocks iterated inside. Blocks keep the full (L, H, D) panel in VMEM
-    (~6 MB at Longformer-base), so the (B, L, H, D) operands need no
-    transposes at all — profiling showed the (B*H, L, D) layout's copies cost
-    ~10% of the train step. Mosaic requires the second-minor (head) dim
-    blocked at 8 or full, hence full-head panels."""
+def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
+                out_ref, *, block_q: int, window: int, num_globals: int,
+                scale: float, nb: int):
+    """One program per (batch*head) row; query blocks iterated INSIDE the
+    program. Amortizes per-program fixed costs ~nb x vs a (BH, nb) grid —
+    measured 1.1 us/program overhead made the fine grid overhead-bound."""
     half = window // 2
     band = block_q + window
     in_dtype = q_ref.dtype
+    gk = gk_ref[0].astype(jnp.float32)  # (G, D)
+    gv = gv_ref[0].astype(jnp.float32)
     g_ok = gvalid_ref[0, 0, :] != 0
     win_mask = _band_iota_mask(block_q, band, half)
 
-    for h in range(heads):
-        gk = gk_ref[0, :, h, :].astype(jnp.float32)  # (G, D)
-        gv = gv_ref[0, :, h, :].astype(jnp.float32)
-        for i in range(nb):
-            q = q_ref[0, pl.ds(i * block_q, block_q), h, :] * jnp.asarray(scale, in_dtype)
-            k_band = kpad_ref[0, pl.ds(i * block_q, band), h, :]  # (band, D)
-            v_band = vpad_ref[0, pl.ds(i * block_q, band), h, :]
-            key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0  # (band,)
+    for i in range(nb):
+        q = q_ref[0, pl.ds(i * block_q, block_q), :] * jnp.asarray(scale, in_dtype)
+        k_band = kpad_ref[0, pl.ds(i * block_q, band), :]  # (band, D)
+        v_band = vpad_ref[0, pl.ds(i * block_q, band), :]
+        key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0  # (band,)
 
-            scores = jax.lax.dot_general(
-                q, k_band, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # (block_q, band)
-            scores = jnp.where(win_mask & key_ok[None, :], scores, NEG_INF)
+        scores = jax.lax.dot_general(
+            q, k_band, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (block_q, band)
+        scores = jnp.where(win_mask & key_ok[None, :], scores, NEG_INF)
 
-            g_scores = jax.lax.dot_general(
-                q.astype(jnp.float32), gk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
+        g_scores = jax.lax.dot_general(
+            q.astype(jnp.float32), gk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (block_q, G)
+        g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
 
-            all_scores = jnp.concatenate([scores, g_scores], axis=1)
-            m = jnp.max(all_scores, axis=1, keepdims=True)
-            e = jnp.exp(all_scores - m)
-            denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
-            pr = e / denom
+        all_scores = jnp.concatenate([scores, g_scores], axis=1)
+        m = jnp.max(all_scores, axis=1, keepdims=True)
+        e = jnp.exp(all_scores - m)
+        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+        p = e / denom
 
-            out = jax.lax.dot_general(
-                pr[:, :band].astype(in_dtype), v_band, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            out += jax.lax.dot_general(
-                pr[:, band:], gv, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # writes can't squeeze an int index after a dynamic slice
-            # (pallas NDIndexer quirk) -> write a (block, 1, D) panel
-            out_ref[0, pl.ds(i * block_q, block_q), h:h + 1, :] = (
-                out.astype(out_ref.dtype)[:, None, :])
+        out = jax.lax.dot_general(
+            p[:, :band].astype(in_dtype), v_band, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out += jax.lax.dot_general(
+            p[:, band:], gv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, pl.ds(i * block_q, block_q), :] = out.astype(out_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -194,35 +187,32 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
 # pallas_call wrappers over (BH, L, D)-shaped operands
 # ---------------------------------------------------------------------------
 
-def _band_core_fwd_call(q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid,
+def _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
                         *, block_q, window, num_globals, interpret):
-    """Native-4D forward: grid (B,), full (L, H, D) panels, zero transposes."""
-    B, L, H, D = q4.shape
+    BH, L, D = q3.shape
     nb = L // block_q
     W = window
-    G = num_globals
     scale = 1.0 / (D ** 0.5)
     kernel = functools.partial(
-        _fwd_kernel4, block_q=block_q, window=window, num_globals=num_globals,
-        scale=scale, nb=nb, heads=H,
+        _fwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
+        scale=scale, nb=nb,
     )
-    row = lambda b: (b, 0, 0, 0)
     return pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(BH,),
         in_specs=[
-            pl.BlockSpec((1, L, H, D), row),
-            pl.BlockSpec((1, L + W, H, D), row),
-            pl.BlockSpec((1, L + W, H, D), row),
+            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, L + W, D), lambda b: (b, 0, 0)),
             pl.BlockSpec((1, L + W, 1), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, G, H, D), row),
-            pl.BlockSpec((1, G, H, D), row),
-            pl.BlockSpec((1, 1, G), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, num_globals, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, num_globals, D), lambda b: (b, 0, 0)),
+            pl.BlockSpec((1, 1, num_globals), lambda b: (b, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, L, H, D), row),
-        out_shape=jax.ShapeDtypeStruct((B, L, H, D), q4.dtype),
+        out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, L, D), q3.dtype),
         interpret=interpret,
-    )(q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid)
+    )(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3)
 
 
 def _band_core_bwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3,
@@ -270,56 +260,29 @@ def _band_core_bwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _band_core(q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid,
+def _band_core(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
                block_q, window, num_globals, interpret):
-    return _band_core_fwd_call(q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid,
+    return _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
                                block_q=block_q, window=window,
                                num_globals=num_globals, interpret=interpret)
 
 
-def _band_core_fwd(q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid,
+def _band_core_fwd(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
                    block_q, window, num_globals, interpret):
-    out = _band_core_fwd_call(q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid,
+    out = _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
                               block_q=block_q, window=window,
                               num_globals=num_globals, interpret=interpret)
-    return out, (q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid)
+    return out, (q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3)
 
 
 def _band_core_bwd(block_q, window, num_globals, interpret, res, dout):
-    """Backward bridges to the (B*H, L, D)-layout kernel: the dK/dV fp32
-    accumulators for all heads don't fit VMEM in full-head panels, so the
-    transposes (fwd-free now) are paid only on the backward path."""
-    q4, kpad4, vpad4, keyloc, gk4, gv4, gvalid = res
-    B, L, H, D = q4.shape
-    W = window
-    G = num_globals
-
-    def to3(x, length):
-        return x.transpose(0, 2, 1, 3).reshape(B * H, length, D)
-
-    q3 = to3(q4, L)
-    kpad3 = to3(kpad4, L + W)
-    vpad3 = to3(vpad4, L + W)
-    gk3 = to3(gk4, G)
-    gv3 = to3(gv4, G)
-    keyloc3 = jnp.broadcast_to(keyloc[:, None, :, 0], (B, H, L + W)).reshape(
-        B * H, L + W, 1)
-    gvalid3 = jnp.broadcast_to(gvalid[:, None, :, :], (B, H, 1, G)).reshape(
-        B * H, 1, G)
-    dout3 = to3(dout.astype(jnp.float32), L)
-
-    dq3, dkpad3, dvpad3, dgk3, dgv3 = _band_core_bwd_call(
-        q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3,
-        block_q=block_q, window=window, num_globals=num_globals,
-        interpret=interpret,
+    q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3 = res
+    dq, dkpad, dvpad, dgk, dgv = _band_core_bwd_call(
+        q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout.astype(jnp.float32),
+        block_q=block_q, window=window, num_globals=num_globals, interpret=interpret,
     )
-
-    def to4(x, length, dtype):
-        return x.reshape(B, H, length, D).transpose(0, 2, 1, 3).astype(dtype)
-
-    return (to4(dq3, L, q4.dtype), to4(dkpad3, L + W, kpad4.dtype),
-            to4(dvpad3, L + W, vpad4.dtype), None,
-            to4(dgk3, G, gk4.dtype), to4(dgv3, G, gv4.dtype), None)
+    return (dq.astype(q3.dtype), dkpad.astype(kpad3.dtype), dvpad.astype(vpad3.dtype),
+            None, dgk.astype(gk3.dtype), dgv.astype(gv3.dtype), None)
 
 
 _band_core.defvjp(_band_core_fwd, _band_core_bwd)
@@ -354,22 +317,31 @@ def pallas_window_attention(
     is_pad = mask == 0
     is_global = mask == 2
 
-    # native (B, L, H, D) operands: the forward kernel consumes full-head
-    # panels, so no layout transposes are materialized on the forward /
-    # inference path (backward bridges to the (B*H, L, D) kernel internally)
-    kpad = jnp.pad(k, ((0, 0), (half, half), (0, 0), (0, 0)))
-    vpad = jnp.pad(v, ((0, 0), (half, half), (0, 0), (0, 0)))
+    # (B, L, H, D) -> (B*H, L, D)
+    def to3(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, L, D)
+
+    q3 = to3(q)
+    # window-pad K/V by half on both sides
+    kpad = jnp.pad(to3(k), ((0, 0), (half, half), (0, 0)))
+    vpad = jnp.pad(to3(v), ((0, 0), (half, half), (0, 0)))
 
     key_local = (mask == 1).astype(jnp.int32)  # (B, L)
-    keyloc = jnp.pad(key_local, ((0, 0), (half, half)))[:, :, None]  # (B, L+W, 1)
+    keyloc = jnp.pad(key_local, ((0, 0), (half, half)))  # (B, L+W)
+    keyloc3 = jnp.broadcast_to(keyloc[:, None], (B, H, L + W)).reshape(B * H, L + W, 1)
 
     gidx, gvalid = global_prefix_indices(mask, max_globals)  # (B, G)
     gk_sel = jnp.take_along_axis(k, gidx[:, :, None, None], axis=1)  # (B, G, H, D)
     gv_sel = jnp.take_along_axis(v, gidx[:, :, None, None], axis=1)
-    gvalid_i = gvalid.astype(jnp.int32)[:, None, :]  # (B, 1, G)
+    gk3 = gk_sel.transpose(0, 2, 1, 3).reshape(B * H, max_globals, D)
+    gv3 = gv_sel.transpose(0, 2, 1, 3).reshape(B * H, max_globals, D)
+    gvalid3 = jnp.broadcast_to(
+        gvalid.astype(jnp.int32)[:, None, None, :], (B, H, 1, max_globals)
+    ).reshape(B * H, 1, max_globals)
 
-    out = _band_core(q, kpad, vpad, keyloc, gk_sel, gv_sel, gvalid_i,
-                     block_q, window, max_globals, interpret).astype(q.dtype)
+    out3 = _band_core(q3, kpad, vpad, keyloc3, gk3, gv3, gvalid3,
+                      block_q, window, max_globals, interpret)
+    out = out3.reshape(B, H, L, D).transpose(0, 2, 1, 3).astype(q.dtype)
 
     # global query rows (dedicated projections) + padding zeroing
     g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals)
