@@ -79,3 +79,56 @@ def test_finetune_learns_cluster_structure():
     # learning above chance with margin.
     assert metrics["Recall@10"] > 0.6, metrics
     assert metrics["AUC"] > 0.6, metrics
+
+
+def test_pretraining_learns_contrastive_structure():
+    """On clustered synthetic data, in-batch contrastive accuracy must rise
+    well above the 1/B chance level after a few hundred steps."""
+    from recformer_tpu.models.heads import RecformerForPretraining
+    from recformer_tpu.data.device_pipeline import make_pretrain_batch
+    from recformer_tpu.training.steps import make_pretrain_step
+
+    cfg = RecformerConfig.tiny(
+        max_token_num=64, max_item_embeddings=6, item_seq_len=32,
+        attention_window=(16, 16), hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    tok = RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
+    rng = np.random.default_rng(1)
+    n_clusters, per_cluster = 4, 4
+    n_items = n_clusters * per_cluster
+    words = [["aa", "bb"], ["cc", "dd"], ["ee", "ff"], ["gg", "hh"]]
+    tokenized = {
+        i: tok.encode_item({"kind": words[i // per_cluster][i % 2],
+                            "tag": words[i // per_cluster][(i + 1) % 2]})
+        for i in range(n_items)
+    }
+    table_np = ItemTable.build(tokenized, cfg, tok.backend.pad_token_id)
+    table = {k: jnp.asarray(v) for k, v in table_np.as_arrays().items()}
+
+    # users stay within one cluster -> the target item shares its cluster
+    # with the history, so cluster info separates positives from (most)
+    # in-batch negatives
+    B = 8
+    seqs = np.stack([
+        rng.integers((u % n_clusters) * per_cluster,
+                     (u % n_clusters + 1) * per_cluster, size=6)
+        for u in range(B)
+    ]).astype(np.int32)
+    item_ids = jnp.asarray(seqs)
+    seq_lens = jnp.full((B,), 6, jnp.int32)
+
+    model = RecformerForPretraining(cfg)
+    ba, bb = make_pretrain_batch(jax.random.PRNGKey(0), table, item_ids, seq_lens, cfg)
+    params = model.init(jax.random.PRNGKey(0), ba, bb)
+    tx = create_optimizer(learning_rate=2e-3, warmup_steps=5, total_steps=300)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = make_pretrain_step(cfg, model)
+
+    accs = []
+    for _ in range(60):
+        state, m = step(state, jax.random.PRNGKey(2), table, item_ids, seq_lens)
+        accs.append(float(m["accuracy"]))
+    # batch has 2 users per cluster -> cluster knowledge alone gives ~50%;
+    # chance is 1/8 = 12.5%. Require clear learning.
+    assert np.mean(accs[-10:]) > 0.4, np.mean(accs[-10:])
