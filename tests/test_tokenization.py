@@ -114,3 +114,45 @@ def test_deterministic_across_instances():
     t2 = RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
     item = {"brand": "stable hashing", "color": "royal purple"}
     assert t1.encode_item(item) == t2.encode_item(item)
+
+
+def test_hf_text_backend_with_local_wordpiece(tmp_path):
+    """HFTextBackend against a real (locally constructed) HF tokenizer:
+    word-begin flags must match the reference subword predicate
+    (collator.py:152-159)."""
+    transformers = pytest.importorskip("transformers")
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "red", "guitar", "##s", "##ist", "wood", ",", "acoustic"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab))
+    hf = transformers.BertTokenizer(str(vocab_file), do_lower_case=True)
+
+    from recformer_tpu.data.vocab import HFTextBackend
+
+    backend = HFTextBackend(hf)
+    ids, begins = backend.tokenize_text("guitarist , red")
+    tokens = hf.convert_ids_to_tokens(ids)
+    assert tokens == ["guitar", "##ist", ",", "red"]
+    # The reference predicate (collator.py:152-159) is written for RoBERTa
+    # byte-BPE ("space-prefixed string => word begin"); on a WordPiece
+    # tokenizer it yields: "guitar"/"red" (no space prefix) -> continuation,
+    # "##ist" ('#' is punctuation) -> begin, "," -> begin. The adapter must
+    # reproduce that predicate faithfully, quirks included.
+    assert begins == [False, True, True, False]
+
+    # full item-encoding path over the HF backend
+    from recformer_tpu.config import RecformerConfig
+    from recformer_tpu.data.tokenization import RecformerTokenizer
+
+    cfg = RecformerConfig.tiny(vocab_size=len(vocab),
+                               pad_token_id=hf.pad_token_id,
+                               bos_token_id=hf.cls_token_id,
+                               eos_token_id=hf.sep_token_id,
+                               mask_token_id=hf.mask_token_id)
+    tok = RecformerTokenizer(cfg, backend)
+    item_ids, types, wb = tok.encode_item({"kind": "guitars", "hue": "red wood"})
+    toks = hf.convert_ids_to_tokens(item_ids)
+    assert toks == ["kind", "guitar", "##s", "hue", "red", "wood"] or "[UNK]" in toks
+    # key tokens type 1, value tokens type 2
+    assert types[0] == 1 and 2 in types
