@@ -6,22 +6,31 @@ behavioral spec it re-derives from the reference's HF Longformer dependency,
 ±window/2 band of *local* keys plus all global keys in one softmax; global
 query rows run full attention with dedicated projections; padding is inert.
 
-Kernel design (one program per (batch*head, query-block)):
+Kernel design ("flat-lane" layout — one program per (batch, head-pair)):
 
-- Q is blocked ``(block_q, D)``; K/V arrive window-padded ``(L + window, D)``
-  and live whole in VMEM per (b, h) — at Longformer scale (L <= 4096, D = 64)
-  that is ~1 MB, far under the 16 MB budget, and the block is only re-DMA'd
-  when the (b, h) grid coordinate changes (grid iterates query blocks
-  innermost).
-- The banded scores ``(block_q, block_q + window [+G])`` are materialized in
-  registers/VMEM, softmaxed in fp32 in one shot (no online softmax needed at
-  these band widths), and contracted with V on the MXU.
-- Global key columns (the gathered global positions' K/V rows) join the same
-  softmax as extra columns.
+- All operands stay in the model's native ``(B, L, H*D)`` layout; the wrapper
+  only *reshapes* (a free minor-dim split/merge) — it never transposes. This
+  removed the ~44 ms/step of layout-copy fusions the earlier per-head
+  ``(B*H, L, D)`` layout required (profile in docs/PERF.md).
+- The lane (minor) dimension is blocked in chunks of ``hpb * D`` where
+  ``hpb = 128 // D`` heads per program (lane blocks must be multiples of the
+  128-wide TPU lane tiling; for head_dim 64 that is two heads). Heads are
+  sliced *inside* the kernel with static, 64-aligned lane slices —
+  ``ref[0, ds(i*bq, bq), h*D:(h+1)*D]`` — which Mosaic supports for both
+  reads and writes (verified by a minimal TPU probe; only *dynamic* lane
+  offsets are restricted).
+- Query blocks iterate inside the program (python loop, unrolled at trace
+  time), amortizing the ~1.1 us fixed per-program cost.
+- K/V arrive window-padded ``(L + window, hpb*D)`` and live whole in VMEM per
+  program (~0.3 MB at Longformer-base scale, far under the 16 MB budget).
+- The banded scores ``(block_q, block_q + window [+G])`` are softmaxed in
+  fp32 in one shot (no online softmax needed at these band widths) and
+  contracted with V on the MXU; global key columns join the same softmax as
+  extra columns.
 - Backward is a second fused kernel (custom VJP): it recomputes the band
-  softmax and accumulates dK/dV/dKg/dVg across query blocks by revisiting the
-  same output block over the innermost grid dimension (TPU grid steps execute
-  sequentially, so read-modify-write accumulation is safe).
+  softmax and accumulates dK/dV across query blocks by revisiting the same
+  output block (TPU grid steps execute sequentially, so read-modify-write
+  accumulation is safe). dK/dV accumulate in fp32.
 
 The host-side wrapper handles padding-row zeroing, the global-row overwrite,
 and the gather of global K/V — all differentiable jnp, so only the banded core
@@ -49,56 +58,70 @@ def _band_iota_mask(block_q: int, band: int, half: int):
     return jnp.abs(t - (u - half)) <= half
 
 
+def _heads_per_block(num_heads: int, head_dim: int) -> int:
+    """Heads handled by one program: lane blocks must be 128-multiples, so
+    pack 128 // head_dim heads per block when that divides the head count;
+    otherwise fall back to the full (unblocked) lane dimension."""
+    if head_dim >= 128 and head_dim % 128 == 0:
+        return 1
+    if 128 % head_dim == 0 and num_heads % (128 // head_dim) == 0:
+        return 128 // head_dim
+    return num_heads
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
                 out_ref, *, block_q: int, window: int, num_globals: int,
-                scale: float, nb: int):
-    """One program per (batch*head) row; query blocks iterated INSIDE the
-    program. Amortizes per-program fixed costs ~nb x vs a (BH, nb) grid —
-    measured 1.1 us/program overhead made the fine grid overhead-bound."""
+                scale: float, nb: int, hpb: int, head_dim: int):
     half = window // 2
     band = block_q + window
     in_dtype = q_ref.dtype
-    gk = gk_ref[0].astype(jnp.float32)  # (G, D)
-    gv = gv_ref[0].astype(jnp.float32)
     g_ok = gvalid_ref[0, 0, :] != 0
     win_mask = _band_iota_mask(block_q, band, half)
 
     for i in range(nb):
-        q = q_ref[0, pl.ds(i * block_q, block_q), :] * jnp.asarray(scale, in_dtype)
-        k_band = kpad_ref[0, pl.ds(i * block_q, band), :]  # (band, D)
-        v_band = vpad_ref[0, pl.ds(i * block_q, band), :]
         key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0  # (band,)
+        loc_mask = win_mask & key_ok[None, :]
+        for h in range(hpb):
+            lo = h * head_dim
+            q = q_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim]
+            q = q * jnp.asarray(scale, in_dtype)
+            k_band = kpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
+            v_band = vpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
+            gk = gk_ref[0, :, lo:lo + head_dim].astype(jnp.float32)  # (G, D)
+            gv = gv_ref[0, :, lo:lo + head_dim].astype(jnp.float32)
 
-        scores = jax.lax.dot_general(
-            q, k_band, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, band)
-        scores = jnp.where(win_mask & key_ok[None, :], scores, NEG_INF)
+            scores = jax.lax.dot_general(
+                q, k_band, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (block_q, band)
+            scores = jnp.where(loc_mask, scores, NEG_INF)
 
-        g_scores = jax.lax.dot_general(
-            q.astype(jnp.float32), gk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (block_q, G)
-        g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
+            g_scores = jax.lax.dot_general(
+                q.astype(jnp.float32), gk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (block_q, G)
+            g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
 
-        all_scores = jnp.concatenate([scores, g_scores], axis=1)
-        m = jnp.max(all_scores, axis=1, keepdims=True)
-        e = jnp.exp(all_scores - m)
-        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
-        p = e / denom
+            all_scores = jnp.concatenate([scores, g_scores], axis=1)
+            m = jnp.max(all_scores, axis=1, keepdims=True)
+            e = jnp.exp(all_scores - m)
+            denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+            p = e / denom
 
-        out = jax.lax.dot_general(
-            p[:, :band].astype(in_dtype), v_band, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out += jax.lax.dot_general(
-            p[:, band:], gv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        out_ref[0, pl.ds(i * block_q, block_q), :] = out.astype(out_ref.dtype)
+            out = jax.lax.dot_general(
+                p[:, :band].astype(in_dtype), v_band, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out += jax.lax.dot_general(
+                p[:, band:], gv, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            out_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim] = (
+                out.astype(out_ref.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +132,7 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
                 dout_ref,
                 dq_ref, dkpad_ref, dvpad_ref, dgk_ref, dgv_ref,
                 *, block_q: int, window: int, num_globals: int,
-                scale: float, nb: int):
+                scale: float, nb: int, hpb: int, head_dim: int):
     half = window // 2
     band = block_q + window
     in_dtype = q_ref.dtype
@@ -117,172 +140,191 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     dkpad_ref[...] = jnp.zeros_like(dkpad_ref)
     dvpad_ref[...] = jnp.zeros_like(dvpad_ref)
 
-    gk = gk_ref[0].astype(jnp.float32)
-    gv = gv_ref[0].astype(jnp.float32)
     g_ok = gvalid_ref[0, 0, :] != 0
     win_mask = _band_iota_mask(block_q, band, half)
-    dgk_acc = jnp.zeros((num_globals, q_ref.shape[-1]), jnp.float32)
-    dgv_acc = jnp.zeros((num_globals, q_ref.shape[-1]), jnp.float32)
+    dgk_acc = [jnp.zeros((num_globals, head_dim), jnp.float32) for _ in range(hpb)]
+    dgv_acc = [jnp.zeros((num_globals, head_dim), jnp.float32) for _ in range(hpb)]
 
     for i in range(nb):
-        q = q_ref[0, pl.ds(i * block_q, block_q), :] * jnp.asarray(scale, in_dtype)
-        k_band = kpad_ref[0, pl.ds(i * block_q, band), :]
-        v_band = vpad_ref[0, pl.ds(i * block_q, band), :]
         key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0
-        dout = dout_ref[0, pl.ds(i * block_q, block_q), :].astype(in_dtype)
+        loc_mask = win_mask & key_ok[None, :]
+        for h in range(hpb):
+            lo = h * head_dim
+            q = q_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim]
+            q = q * jnp.asarray(scale, in_dtype)
+            k_band = kpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
+            v_band = vpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
+            gk = gk_ref[0, :, lo:lo + head_dim].astype(jnp.float32)
+            gv = gv_ref[0, :, lo:lo + head_dim].astype(jnp.float32)
+            dout = dout_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim]
+            dout = dout.astype(in_dtype)
 
-        # recompute probabilities
-        scores = jax.lax.dot_general(q, k_band, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        scores = jnp.where(win_mask & key_ok[None, :], scores, NEG_INF)
-        g_scores = jax.lax.dot_general(q.astype(jnp.float32), gk,
+            # recompute probabilities
+            scores = jax.lax.dot_general(q, k_band, (((1,), (1,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            scores = jnp.where(loc_mask, scores, NEG_INF)
+            g_scores = jax.lax.dot_general(q.astype(jnp.float32), gk,
+                                           (((1,), (1,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+            g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
+            all_scores = jnp.concatenate([scores, g_scores], axis=1)
+            m = jnp.max(all_scores, axis=1, keepdims=True)
+            e = jnp.exp(all_scores - m)
+            denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+            p = e / denom  # (block_q, band + G)
+
+            # softmax backward
+            dp_band = jax.lax.dot_general(dout, v_band, (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+            dp_g = jax.lax.dot_general(dout.astype(jnp.float32), gv,
                                        (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
-        g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
-        all_scores = jnp.concatenate([scores, g_scores], axis=1)
-        m = jnp.max(all_scores, axis=1, keepdims=True)
-        e = jnp.exp(all_scores - m)
-        denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
-        p = e / denom  # (block_q, band + G)
+            dp = jnp.concatenate([dp_band, dp_g], axis=1)
+            row_dot = jnp.sum(p * dp, axis=1, keepdims=True)
+            ds = p * (dp - row_dot)  # (bq, band + G)
 
-        # softmax backward
-        dp_band = jax.lax.dot_general(dout, v_band, (((1,), (1,)), ((), ())),
+            ds_c = ds.astype(in_dtype)
+            dq = jax.lax.dot_general(ds_c[:, :band], k_band,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dq += jax.lax.dot_general(ds[:, band:], gk, (((1,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-        dp_g = jax.lax.dot_general(dout.astype(jnp.float32), gv,
-                                   (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-        dp = jnp.concatenate([dp_band, dp_g], axis=1)
-        row_dot = jnp.sum(p * dp, axis=1, keepdims=True)
-        ds = p * (dp - row_dot)  # (bq, band + G)
+            dq_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim] = (
+                (dq * scale).astype(dq_ref.dtype))
 
-        ds_c = ds.astype(in_dtype)
-        dq = jax.lax.dot_general(ds_c[:, :band], k_band, (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dq += jax.lax.dot_general(ds[:, band:], gk, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        dq_ref[0, pl.ds(i * block_q, block_q), :] = (dq * scale).astype(dq_ref.dtype)
+            dk_band = jax.lax.dot_general(ds_c[:, :band], q,
+                                          (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+            dv_band = jax.lax.dot_general(p[:, :band].astype(in_dtype), dout,
+                                          (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+            cur_k = dkpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
+            dkpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim] = (
+                cur_k + dk_band.astype(dkpad_ref.dtype))
+            cur_v = dvpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
+            dvpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim] = (
+                cur_v + dv_band.astype(dvpad_ref.dtype))
 
-        dk_band = jax.lax.dot_general(ds_c[:, :band], q, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        dv_band = jax.lax.dot_general(p[:, :band].astype(in_dtype), dout,
-                                      (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        cur_k = dkpad_ref[0, pl.ds(i * block_q, band), :]
-        dkpad_ref[0, pl.ds(i * block_q, band), :] = cur_k + dk_band.astype(dkpad_ref.dtype)
-        cur_v = dvpad_ref[0, pl.ds(i * block_q, band), :]
-        dvpad_ref[0, pl.ds(i * block_q, band), :] = cur_v + dv_band.astype(dvpad_ref.dtype)
+            dgk_acc[h] += jax.lax.dot_general(ds[:, band:], q.astype(jnp.float32),
+                                              (((0,), (0,)), ((), ())),
+                                              preferred_element_type=jnp.float32)
+            dgv_acc[h] += jax.lax.dot_general(p[:, band:], dout.astype(jnp.float32),
+                                              (((0,), (0,)), ((), ())),
+                                              preferred_element_type=jnp.float32)
 
-        dgk_acc += jax.lax.dot_general(ds[:, band:], q.astype(jnp.float32),
-                                       (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-        dgv_acc += jax.lax.dot_general(p[:, band:], dout.astype(jnp.float32),
-                                       (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-
-    dgk_ref[0] = dgk_acc.astype(dgk_ref.dtype)
-    dgv_ref[0] = dgv_acc.astype(dgv_ref.dtype)
+    dgk_ref[0] = jnp.concatenate(dgk_acc, axis=1).astype(dgk_ref.dtype)
+    dgv_ref[0] = jnp.concatenate(dgv_acc, axis=1).astype(dgv_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
-# pallas_call wrappers over (BH, L, D)-shaped operands
+# pallas_call wrappers over (B, L, H*D)-shaped operands
 # ---------------------------------------------------------------------------
 
-def _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
-                        *, block_q, window, num_globals, interpret):
-    BH, L, D = q3.shape
+def _grid_and_specs(B, L, HD, W, num_globals, num_heads):
+    D = HD // num_heads
+    hpb = _heads_per_block(num_heads, D)
+    lane = hpb * D
+    HP = num_heads // hpb
+    blk = lambda b, hp: (b, 0, hp)
+    row = lambda b, hp: (b, 0, 0)
+    in_specs = [
+        pl.BlockSpec((1, L, lane), blk),            # q
+        pl.BlockSpec((1, L + W, lane), blk),        # kpad
+        pl.BlockSpec((1, L + W, lane), blk),        # vpad
+        pl.BlockSpec((1, L + W, 1), row),           # keyloc (shared per batch)
+        pl.BlockSpec((1, num_globals, lane), blk),  # gk
+        pl.BlockSpec((1, num_globals, lane), blk),  # gv
+        pl.BlockSpec((1, 1, num_globals), row),     # gvalid
+    ]
+    return (B, HP), in_specs, blk, D, hpb, lane
+
+
+def _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
+                        *, block_q, window, num_globals, num_heads, interpret):
+    B, L, HD = q2.shape
     nb = L // block_q
     W = window
+    grid, in_specs, blk, D, hpb, lane = _grid_and_specs(
+        B, L, HD, W, num_globals, num_heads)
     scale = 1.0 / (D ** 0.5)
     kernel = functools.partial(
         _fwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
-        scale=scale, nb=nb,
+        scale=scale, nb=nb, hpb=hpb, head_dim=D,
     )
     return pl.pallas_call(
         kernel,
-        grid=(BH,),
-        in_specs=[
-            pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, L + W, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, L + W, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, L + W, 1), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, num_globals, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, num_globals, D), lambda b: (b, 0, 0)),
-            pl.BlockSpec((1, 1, num_globals), lambda b: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, L, D), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((BH, L, D), q3.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, L, lane), blk),
+        out_shape=jax.ShapeDtypeStruct((B, L, HD), q2.dtype),
         interpret=interpret,
-    )(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3)
+    )(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2)
 
 
-def _band_core_bwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3,
-                        *, block_q, window, num_globals, interpret):
-    BH, L, D = q3.shape
+def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, dout2,
+                        *, block_q, window, num_globals, num_heads, interpret):
+    B, L, HD = q2.shape
     nb = L // block_q
     W = window
+    grid, in_specs, blk, D, hpb, lane = _grid_and_specs(
+        B, L, HD, W, num_globals, num_heads)
     scale = 1.0 / (D ** 0.5)
     kernel = functools.partial(
         _bwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
-        scale=scale, nb=nb,
+        scale=scale, nb=nb, hpb=hpb, head_dim=D,
     )
     out_shapes = (
-        jax.ShapeDtypeStruct((BH, L, D), q3.dtype),          # dq
+        jax.ShapeDtypeStruct((B, L, HD), q2.dtype),          # dq
         # dK/dV accumulate across overlapping bands: keep fp32 accumulators
-        jax.ShapeDtypeStruct((BH, L + W, D), jnp.float32),   # dkpad
-        jax.ShapeDtypeStruct((BH, L + W, D), jnp.float32),   # dvpad
-        jax.ShapeDtypeStruct((BH, num_globals, D), jnp.float32),  # dgk
-        jax.ShapeDtypeStruct((BH, num_globals, D), jnp.float32),  # dgv
+        jax.ShapeDtypeStruct((B, L + W, HD), jnp.float32),   # dkpad
+        jax.ShapeDtypeStruct((B, L + W, HD), jnp.float32),   # dvpad
+        jax.ShapeDtypeStruct((B, num_globals, HD), jnp.float32),  # dgk
+        jax.ShapeDtypeStruct((B, num_globals, HD), jnp.float32),  # dgv
     )
-    row = lambda b: (b, 0, 0)
     return pl.pallas_call(
         kernel,
-        grid=(BH,),
-        in_specs=[
-            pl.BlockSpec((1, L, D), row),
-            pl.BlockSpec((1, L + W, D), row),
-            pl.BlockSpec((1, L + W, D), row),
-            pl.BlockSpec((1, L + W, 1), row),
-            pl.BlockSpec((1, num_globals, D), row),
-            pl.BlockSpec((1, num_globals, D), row),
-            pl.BlockSpec((1, 1, num_globals), row),
-            pl.BlockSpec((1, L, D), row),
-        ],
+        grid=grid,
+        in_specs=in_specs + [pl.BlockSpec((1, L, lane), blk)],  # dout
         out_specs=(
-            pl.BlockSpec((1, L, D), row),
-            pl.BlockSpec((1, L + W, D), row),
-            pl.BlockSpec((1, L + W, D), row),
-            pl.BlockSpec((1, num_globals, D), row),
-            pl.BlockSpec((1, num_globals, D), row),
+            pl.BlockSpec((1, L, lane), blk),
+            pl.BlockSpec((1, L + W, lane), blk),
+            pl.BlockSpec((1, L + W, lane), blk),
+            pl.BlockSpec((1, num_globals, lane), blk),
+            pl.BlockSpec((1, num_globals, lane), blk),
         ),
         out_shape=out_shapes,
         interpret=interpret,
-    )(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout3)
+    )(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, dout2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
-def _band_core(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
-               block_q, window, num_globals, interpret):
-    return _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _band_core(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
+               block_q, window, num_globals, num_heads, interpret):
+    return _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
                                block_q=block_q, window=window,
-                               num_globals=num_globals, interpret=interpret)
+                               num_globals=num_globals, num_heads=num_heads,
+                               interpret=interpret)
 
 
-def _band_core_fwd(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
-                   block_q, window, num_globals, interpret):
-    out = _band_core_fwd_call(q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3,
+def _band_core_fwd(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
+                   block_q, window, num_globals, num_heads, interpret):
+    out = _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
                               block_q=block_q, window=window,
-                              num_globals=num_globals, interpret=interpret)
-    return out, (q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3)
+                              num_globals=num_globals, num_heads=num_heads,
+                              interpret=interpret)
+    return out, (q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2)
 
 
-def _band_core_bwd(block_q, window, num_globals, interpret, res, dout):
-    q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3 = res
+def _band_core_bwd(block_q, window, num_globals, num_heads, interpret, res, dout):
+    q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2 = res
     dq, dkpad, dvpad, dgk, dgv = _band_core_bwd_call(
-        q3, kpad3, vpad3, keyloc3, gk3, gv3, gvalid3, dout.astype(jnp.float32),
-        block_q=block_q, window=window, num_globals=num_globals, interpret=interpret,
+        q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, dout.astype(q2.dtype),
+        block_q=block_q, window=window, num_globals=num_globals,
+        num_heads=num_heads, interpret=interpret,
     )
-    return (dq.astype(q3.dtype), dkpad.astype(kpad3.dtype), dvpad.astype(vpad3.dtype),
-            None, dgk.astype(gk3.dtype), dgv.astype(gv3.dtype), None)
+    return (dq.astype(q2.dtype), dkpad.astype(kpad2.dtype),
+            dvpad.astype(vpad2.dtype), None,
+            dgk.astype(gk2.dtype), dgv.astype(gv2.dtype), None)
 
 
 _band_core.defvjp(_band_core_fwd, _band_core_bwd)
@@ -308,6 +350,7 @@ def pallas_window_attention(
 ) -> jnp.ndarray:
     """Same contract as :func:`attention.dense_attention`; fused TPU kernel."""
     B, L, H, D = q.shape
+    HD = H * D
     block_q = min(block_q, L)
     if L % block_q:
         raise ValueError(f"L={L} must be a multiple of block_q={block_q}")
@@ -317,31 +360,22 @@ def pallas_window_attention(
     is_pad = mask == 0
     is_global = mask == 2
 
-    # (B, L, H, D) -> (B*H, L, D)
-    def to3(x):
-        return x.transpose(0, 2, 1, 3).reshape(B * H, L, D)
-
-    q3 = to3(q)
-    # window-pad K/V by half on both sides
-    kpad = jnp.pad(to3(k), ((0, 0), (half, half), (0, 0)))
-    vpad = jnp.pad(to3(v), ((0, 0), (half, half), (0, 0)))
+    # (B, L, H, D) -> (B, L, H*D): minor-dim merge, a free reshape (no copy)
+    q2 = q.reshape(B, L, HD)
+    kpad = jnp.pad(k.reshape(B, L, HD), ((0, 0), (half, half), (0, 0)))
+    vpad = jnp.pad(v.reshape(B, L, HD), ((0, 0), (half, half), (0, 0)))
 
     key_local = (mask == 1).astype(jnp.int32)  # (B, L)
-    keyloc = jnp.pad(key_local, ((0, 0), (half, half)))  # (B, L+W)
-    keyloc3 = jnp.broadcast_to(keyloc[:, None], (B, H, L + W)).reshape(B * H, L + W, 1)
+    keyloc2 = jnp.pad(key_local, ((0, 0), (half, half)))[:, :, None]  # (B, L+W, 1)
 
     gidx, gvalid = global_prefix_indices(mask, max_globals)  # (B, G)
-    gk_sel = jnp.take_along_axis(k, gidx[:, :, None, None], axis=1)  # (B, G, H, D)
-    gv_sel = jnp.take_along_axis(v, gidx[:, :, None, None], axis=1)
-    gk3 = gk_sel.transpose(0, 2, 1, 3).reshape(B * H, max_globals, D)
-    gv3 = gv_sel.transpose(0, 2, 1, 3).reshape(B * H, max_globals, D)
-    gvalid3 = jnp.broadcast_to(
-        gvalid.astype(jnp.int32)[:, None, None, :], (B, H, 1, max_globals)
-    ).reshape(B * H, 1, max_globals)
+    gk2 = jnp.take_along_axis(k.reshape(B, L, HD), gidx[:, :, None], axis=1)
+    gv2 = jnp.take_along_axis(v.reshape(B, L, HD), gidx[:, :, None], axis=1)
+    gvalid2 = gvalid.astype(jnp.int32)[:, None, :]  # (B, 1, G)
 
-    out3 = _band_core(q3, kpad, vpad, keyloc3, gk3, gv3, gvalid3,
-                      block_q, window, max_globals, interpret)
-    out = out3.reshape(B, H, L, D).transpose(0, 2, 1, 3).astype(q.dtype)
+    out2 = _band_core(q2, kpad, vpad, keyloc2, gk2, gv2, gvalid2,
+                      block_q, window, max_globals, H, interpret)
+    out = out2.reshape(B, L, H, D).astype(q.dtype)
 
     # global query rows (dedicated projections) + padding zeroing
     g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals)
