@@ -156,3 +156,35 @@ def test_pallas_window_larger_than_block():
     out = pallas_window_attention(q, k, v, qg, kg, vg, mask, 32, block_q=16,
                                   interpret=INTERPRET)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("H,D", [(3, 8), (12, 8), (2, 128), (1, 16)])
+def test_pallas_head_packing_fallbacks(H, D):
+    """The flat-lane kernel packs 128//D heads per lane block when that
+    divides H, else falls back to the full lane dimension; every branch must
+    match the oracle."""
+    from recformer_tpu.ops.pallas_attention import _heads_per_block
+
+    hpb = _heads_per_block(H, D)
+    assert H % hpb == 0
+    q, k, v, qg, kg, vg, mask = make_inputs(jax.random.PRNGKey(7), H=H, D=D)
+    ref = dense_attention(q, k, v, qg, kg, vg, mask, 16)
+    out = pallas_window_attention(q, k, v, qg, kg, vg, mask, 16, block_q=32,
+                                  interpret=INTERPRET)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_head_packing_gradients_odd_heads():
+    q, k, v, qg, kg, vg, mask = make_inputs(jax.random.PRNGKey(8), H=3, D=8)
+
+    def loss_p(*a):
+        return jnp.sum(pallas_window_attention(*a, mask, 16, block_q=32,
+                                               interpret=INTERPRET) ** 2)
+
+    def loss_c(*a):
+        return jnp.sum(chunked_attention(*a, mask, 16, block=32) ** 2)
+
+    gp = jax.grad(loss_p, argnums=tuple(range(6)))(q, k, v, qg, kg, vg)
+    gc = jax.grad(loss_c, argnums=tuple(range(6)))(q, k, v, qg, kg, vg)
+    for a, b in zip(gp, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
