@@ -27,6 +27,7 @@ from ..utils.clustering import (
     kmeans_sweep,
     pca_project,
     pick_optimal_k,
+    tsne_project,
 )
 from ..utils.io import load_finetune_artifacts, read_json
 from .common import (
@@ -54,6 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--fraud_labels", type=str, default=None,
                    help="optional JSON: user -> 0/1 fraud flag overlay")
     p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--projection", choices=["pca", "tsne"], default="pca",
+                   help="2-D projection for the scatter export "
+                        "(reference cluster.py:144-181 offers t-SNE/PCA/UMAP)")
     return p.parse_args(argv)
 
 
@@ -117,7 +121,10 @@ def main(argv=None):
         k = args.n_clusters
 
     labels, centers, inertia = kmeans(embeddings, k)
-    proj = pca_project(embeddings, 2)
+    if args.projection == "tsne":
+        proj = tsne_project(embeddings, 2)
+    else:
+        proj = pca_project(embeddings, 2)
 
     extra = {"top1_item": preds.astype(np.float32)}
     if args.fraud_labels:
@@ -130,7 +137,7 @@ def main(argv=None):
 
     np.save(os.path.join(args.output_dir, "cluster_labels.npy"), labels)
     np.save(os.path.join(args.output_dir, "cluster_centers.npy"), centers)
-    np.save(os.path.join(args.output_dir, "pca_2d.npy"), proj)
+    np.save(os.path.join(args.output_dir, f"{args.projection}_2d.npy"), proj)
     with open(os.path.join(args.output_dir, "cluster_stats.json"), "w") as f:
         json.dump({"k": int(k), "inertia": inertia, "clusters": stats}, f, indent=2)
     print(f"[cluster] k={k} inertia={inertia:.2f} stats={stats}")

@@ -16,7 +16,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..config import RecformerConfig
-from ..ops.attention import chunked_attention, dense_attention
+from ..ops.attention import chunked_attention, dense_attention, global_prefix_indices
+
+# The data contract has exactly one global token per sequence (the <s>/CLS
+# row, tokenization sets global_attention_mask=[1,0,...]; reference
+# tokenization.py:98-99) — matching the attention ops' max_globals default.
+_MAX_GLOBALS = 1
 
 
 class LongformerSelfAttention(nn.Module):
@@ -41,9 +46,20 @@ class LongformerSelfAttention(nn.Module):
         q = heads(proj("query")(hidden))
         k = heads(proj("key")(hidden))
         v = heads(proj("value")(hidden))
-        q_g = heads(proj("query_global")(hidden))
         k_g = heads(proj("key_global")(hidden))
         v_g = heads(proj("value_global")(hidden))
+
+        # query_global projects ONLY the gathered global rows: the attention
+        # ops read global queries at the (<= max_globals, here 1) global
+        # positions (attention._global_rows), so projecting all L positions
+        # would waste a full (L, hs, hs) GEMM per layer. (An A/B of instead
+        # fusing the remaining five projections into one 768->3840 GEMM via
+        # runtime kernel concat measured SLOWER end to end — 41.5-42.8 vs
+        # 43.3 ex/s/chip — the per-scan-iteration weight concat costs more
+        # than the wider GEMM saves; see docs/PERF.md.)
+        gidx, _ = global_prefix_indices(mask, _MAX_GLOBALS)  # (B, G)
+        hid_g = jnp.take_along_axis(hidden, gidx[:, :, None], axis=1)  # (B, G, hs)
+        q_g = proj("query_global")(hid_g).reshape(B, _MAX_GLOBALS, H, D)
 
         if cfg.attention_impl == "dense":
             out = dense_attention(q, k, v, q_g, k_g, v_g, mask, self.window)

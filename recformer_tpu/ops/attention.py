@@ -64,11 +64,20 @@ def _global_rows(q_g, k_g, v_g, mask, scale, dtype, max_globals: int = 1):
     (at most ``max_globals``) global positions and scattered back: returns
     (B, L, H, D) where rows with mask==2 hold the global-attention output and
     every other row is zero. Avoids the O(L^2) score matrix a naive
-    compute-all-rows version would materialize."""
-    B, L, H, D = q_g.shape
+    compute-all-rows version would materialize.
+
+    ``q_g`` may be either the full-length global-query projection
+    ``(B, L, H, D)`` or — the fast path the encoder uses — already gathered at
+    the ``global_prefix_indices`` rows, ``(B, max_globals, H, D)``, so the
+    query_global GEMM never runs over the ~L non-global positions."""
+    B, L = mask.shape
+    H, D = q_g.shape[2], q_g.shape[3]
     is_pad = mask == 0
     gidx, gvalid = global_prefix_indices(mask, max_globals)  # (B, G)
-    qg_sel = jnp.take_along_axis(q_g, gidx[:, :, None, None], axis=1)  # (B, G, H, D)
+    if q_g.shape[1] == max_globals and max_globals != L:
+        qg_sel = q_g  # pre-gathered (B, G, H, D)
+    else:
+        qg_sel = jnp.take_along_axis(q_g, gidx[:, :, None, None], axis=1)  # (B, G, H, D)
     scores = jnp.einsum(
         "bghd,bmhd->bhgm", qg_sel * scale, k_g, preferred_element_type=jnp.float32
     )  # (B, H, G, L)
@@ -111,13 +120,17 @@ def dense_attention(
     probs = jnp.where(any_key[:, None, :, None], probs, 0.0)
     out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(q.dtype), v)
 
-    # oracle path: compute global rows for EVERY position (O(L^2), exact for
-    # any number of globals), then select
-    g_scores = jnp.einsum("blhd,bmhd->bhlm", q_g * scale, k_g,
-                          preferred_element_type=jnp.float32)
-    g_scores = jnp.where(is_pad[:, None, None, :], NEG_INF, g_scores)
-    g_probs = jax.nn.softmax(g_scores.astype(jnp.float32), axis=-1)
-    g_out = jnp.einsum("bhlm,bmhd->blhd", g_probs.astype(q.dtype), v_g)
+    if q_g.shape[1] != L:
+        # pre-gathered (B, G, H, D) global queries (see _global_rows)
+        g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, q_g.shape[1])
+    else:
+        # oracle path: compute global rows for EVERY position (O(L^2), exact
+        # for any number of globals), then select
+        g_scores = jnp.einsum("blhd,bmhd->bhlm", q_g * scale, k_g,
+                              preferred_element_type=jnp.float32)
+        g_scores = jnp.where(is_pad[:, None, None, :], NEG_INF, g_scores)
+        g_probs = jax.nn.softmax(g_scores.astype(jnp.float32), axis=-1)
+        g_out = jnp.einsum("bhlm,bmhd->blhd", g_probs.astype(q.dtype), v_g)
     out = jnp.where(is_global[:, :, None, None], g_out, out)
     out = jnp.where(is_pad[:, :, None, None], 0.0, out)
     return out

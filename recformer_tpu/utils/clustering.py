@@ -133,6 +133,70 @@ def pca_project(embeddings: np.ndarray, dims: int = 2) -> np.ndarray:
     return (x @ vt[:dims].T).astype(np.float32)
 
 
+def tsne_project(embeddings: np.ndarray, dims: int = 2, perplexity: float = 30.0,
+                 n_iter: int = 500, learning_rate: Optional[float] = None,
+                 seed: int = 0) -> np.ndarray:
+    """Exact (O(N^2)) t-SNE, the reference's second 2-D projection option
+    (``cluster.py:144-181`` uses sklearn TSNE). Standard formulation:
+    per-point Gaussian bandwidths binary-searched to the target perplexity,
+    symmetrized affinities, early exaggeration, momentum gradient descent on
+    the Student-t low-dim similarities. Intended for the analytics regime
+    (<= a few thousand points); PCA-initialized for determinism."""
+    x = embeddings.astype(np.float64)
+    n = x.shape[0]
+    if n <= dims + 1:
+        return pca_project(embeddings, dims)
+    perplexity = min(perplexity, (n - 1) / 3.0)
+    d2 = np.maximum((x * x).sum(1)[:, None] - 2 * x @ x.T + (x * x).sum(1)[None, :], 0)
+    np.fill_diagonal(d2, np.inf)
+
+    # binary-search per-point precision beta to hit log(perplexity) entropy
+    target = np.log(perplexity)
+    p = np.zeros((n, n))
+    for i in range(n):
+        beta, lo, hi = 1.0, 0.0, np.inf
+        row = d2[i]
+        fin = np.isfinite(row)
+        for _ in range(50):
+            e = np.where(fin, np.exp(-row * beta), 0.0)
+            s = max(e.sum(), 1e-12)
+            h = np.log(s) + beta * float((row[fin] * e[fin]).sum()) / s
+            if abs(h - target) < 1e-5:
+                break
+            if h > target:
+                lo = beta
+                beta = beta * 2 if hi == np.inf else (beta + hi) / 2
+            else:
+                hi = beta
+                beta = (beta + lo) / 2
+        p[i] = e / s
+    p = (p + p.T) / (2.0 * n)
+    p = np.maximum(p, 1e-12)
+
+    exaggeration = 12.0
+    if learning_rate is None:
+        # sklearn's 'auto' rule: n / exaggeration / 4, floored at 50
+        learning_rate = max(n / exaggeration / 4.0, 50.0)
+    y = pca_project(embeddings, dims).astype(np.float64)
+    y = y / max(np.std(y), 1e-12) * 1e-4  # standard small-variance init
+    y += np.random.default_rng(seed).normal(0, 1e-6, y.shape)
+    vel = np.zeros_like(y)
+    exag_iters = min(250, n_iter // 2)
+    for it in range(n_iter):
+        pe = p * exaggeration if it < exag_iters else p
+        momentum = 0.5 if it < exag_iters else 0.8
+        yd2 = np.maximum((y * y).sum(1)[:, None] - 2 * y @ y.T + (y * y).sum(1)[None, :], 0)
+        num = 1.0 / (1.0 + yd2)
+        np.fill_diagonal(num, 0.0)
+        q = np.maximum(num / max(num.sum(), 1e-12), 1e-12)
+        w = (pe - q) * num  # (N, N)
+        grad = 4.0 * ((np.diag(w.sum(1)) - w) @ y)
+        vel = momentum * vel - learning_rate * grad
+        y = y + vel
+        y = y - y.mean(0)
+    return y.astype(np.float32)
+
+
 def cluster_description_prompt(cluster_id: int, item_titles: list, stats: Dict) -> str:
     """Build the natural-language cluster-description prompt (the reference
     optionally sends this to GPT-4, ``cluster.py:290-394`` — the call site is

@@ -179,6 +179,23 @@ def test_pca_project():
     assert abs(c) < 0.2
 
 
+def test_tsne_project_separates_blobs():
+    from recformer_tpu.utils.clustering import tsne_project
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 0.05, (40, 8))
+    b = rng.normal(4, 0.05, (40, 8))
+    x = np.concatenate([a, b])
+    p = tsne_project(x, 2, perplexity=10.0)
+    assert p.shape == (80, 2)
+    # the two blobs stay separated in the embedding: the closest cross-blob
+    # pair is farther than the median within-blob distance
+    pa, pb = p[:40], p[40:]
+    cross = np.min(np.linalg.norm(pa[:, None] - pb[None], axis=-1))
+    within = np.median(np.linalg.norm(pa[:, None] - pa[None], axis=-1))
+    assert cross > within
+
+
 def test_cluster_description_prompt():
     from recformer_tpu.utils.clustering import cluster_description_prompt
 
