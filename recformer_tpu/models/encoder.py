@@ -61,15 +61,24 @@ class LongformerSelfAttention(nn.Module):
         hid_g = jnp.take_along_axis(hidden, gidx[:, :, None], axis=1)  # (B, G, hs)
         q_g = proj("query_global")(hid_g).reshape(B, _MAX_GLOBALS, H, D)
 
+        # attention-probs dropout (HF attention_probs_dropout_prob semantics)
+        drop_rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
+        drop_rng = self.make_rng("dropout") if drop_rate > 0.0 else None
+
         if cfg.attention_impl == "dense":
-            out = dense_attention(q, k, v, q_g, k_g, v_g, mask, self.window)
+            out = dense_attention(q, k, v, q_g, k_g, v_g, mask, self.window,
+                                  dropout_rate=drop_rate, dropout_rng=drop_rng)
         elif cfg.attention_impl == "chunked":
             block = min(128, L)
-            out = chunked_attention(q, k, v, q_g, k_g, v_g, mask, self.window, block=block)
+            out = chunked_attention(q, k, v, q_g, k_g, v_g, mask, self.window,
+                                    block=block, dropout_rate=drop_rate,
+                                    dropout_rng=drop_rng)
         elif cfg.attention_impl == "pallas":
             from ..ops.pallas_attention import pallas_window_attention
 
-            out = pallas_window_attention(q, k, v, q_g, k_g, v_g, mask, self.window)
+            out = pallas_window_attention(q, k, v, q_g, k_g, v_g, mask,
+                                          self.window, dropout_rate=drop_rate,
+                                          dropout_rng=drop_rng)
         else:  # pragma: no cover
             raise ValueError(cfg.attention_impl)
 

@@ -14,6 +14,9 @@ Inputs carry a per-token mask with coding {0 = padding, 1 = local, 2 = global}
   projections.
 - Padding queries produce zeros; padding keys are never attended.
 - Scores are scaled by ``1/sqrt(head_dim)``; softmax runs in float32.
+- Training applies dropout to the post-softmax probabilities (HF
+  ``attention_probs_dropout_prob``, default 0.1): pass ``dropout_rate`` and a
+  ``dropout_rng`` key. Inverted dropout (kept entries scaled by 1/(1-rate)).
 
 Implementations:
 
@@ -39,6 +42,16 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def _prob_dropout(probs: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Inverted dropout on attention probabilities (fp32)."""
+    if rate <= 0.0:
+        return probs
+    if rng is None:
+        raise ValueError("dropout_rate > 0 requires a dropout_rng key")
+    keep = jax.random.bernoulli(rng, 1.0 - rate, probs.shape)
+    return jnp.where(keep, probs / (1.0 - rate), 0.0)
+
+
 def _split_masks(mask: jnp.ndarray):
     is_pad = mask == 0
     is_local = mask == 1
@@ -59,7 +72,8 @@ def global_prefix_indices(mask: jnp.ndarray, max_globals: int):
     return idx, valid
 
 
-def _global_rows(q_g, k_g, v_g, mask, scale, dtype, max_globals: int = 1):
+def _global_rows(q_g, k_g, v_g, mask, scale, dtype, max_globals: int = 1,
+                 dropout_rate: float = 0.0, dropout_rng=None):
     """Full-attention output for global query rows, computed ONLY at the
     (at most ``max_globals``) global positions and scattered back: returns
     (B, L, H, D) where rows with mask==2 hold the global-attention output and
@@ -83,6 +97,7 @@ def _global_rows(q_g, k_g, v_g, mask, scale, dtype, max_globals: int = 1):
     )  # (B, H, G, L)
     scores = jnp.where(is_pad[:, None, None, :], NEG_INF, scores)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    probs = _prob_dropout(probs, dropout_rate, dropout_rng)
     out_g = jnp.einsum("bhgm,bmhd->bghd", probs.astype(dtype), v_g)  # (B, G, H, D)
     out_g = jnp.where(gvalid[:, :, None, None], out_g, 0.0)
     out = jnp.zeros((B, L, H, D), dtype)
@@ -99,9 +114,14 @@ def dense_attention(
     v_g: jnp.ndarray,
     mask: jnp.ndarray,
     window: int,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """O(L^2) oracle implementation."""
     B, L, H, D = q.shape
+    rng_loc = rng_glb = None
+    if dropout_rate > 0.0:
+        rng_loc, rng_glb = jax.random.split(dropout_rng)
     scale = 1.0 / jnp.sqrt(jnp.array(D, jnp.float32)).astype(q.dtype)
     is_pad, is_local, is_global = _split_masks(mask)
     half = window // 2
@@ -118,11 +138,13 @@ def dense_attention(
     # rows with no allowed keys (padding) -> zeros
     any_key = jnp.any(allowed, axis=-1)  # (B, L)
     probs = jnp.where(any_key[:, None, :, None], probs, 0.0)
+    probs = _prob_dropout(probs, dropout_rate, rng_loc)
     out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(q.dtype), v)
 
     if q_g.shape[1] != L:
         # pre-gathered (B, G, H, D) global queries (see _global_rows)
-        g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, q_g.shape[1])
+        g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, q_g.shape[1],
+                             dropout_rate, rng_glb)
     else:
         # oracle path: compute global rows for EVERY position (O(L^2), exact
         # for any number of globals), then select
@@ -130,13 +152,15 @@ def dense_attention(
                               preferred_element_type=jnp.float32)
         g_scores = jnp.where(is_pad[:, None, None, :], NEG_INF, g_scores)
         g_probs = jax.nn.softmax(g_scores.astype(jnp.float32), axis=-1)
+        g_probs = _prob_dropout(g_probs, dropout_rate, rng_glb)
         g_out = jnp.einsum("bhlm,bmhd->blhd", g_probs.astype(q.dtype), v_g)
     out = jnp.where(is_global[:, :, None, None], g_out, out)
     out = jnp.where(is_pad[:, :, None, None], 0.0, out)
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("window", "block", "max_globals"))
+@functools.partial(jax.jit, static_argnames=("window", "block", "max_globals",
+                                              "dropout_rate"))
 def chunked_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -148,6 +172,8 @@ def chunked_attention(
     window: int,
     block: int = 128,
     max_globals: int = 1,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Banded attention via sliding chunks, O(L * (block + window)).
 
@@ -205,6 +231,10 @@ def chunked_attention(
     e = jnp.exp(scores - jax.lax.stop_gradient(m))
     denom = jnp.sum(e, axis=-1, keepdims=True)
     probs = e / jnp.maximum(denom, 1e-30)
+    rng_loc = rng_glb = None
+    if dropout_rate > 0.0:
+        rng_loc, rng_glb = jax.random.split(dropout_rng)
+    probs = _prob_dropout(probs, dropout_rate, rng_loc)
     p_band, p_glob = probs[..., :band], probs[..., band:]
 
     out = jnp.einsum("bhntu,bnuhd->bnthd", p_band.astype(q.dtype), v_b)
@@ -212,7 +242,8 @@ def chunked_attention(
     out = out.reshape(B, L, H, D)
 
     # --- global query rows + padding ----------------------------------
-    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals)
+    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals,
+                         dropout_rate, rng_glb)
     out = jnp.where(is_global[:, :, None, None], g_out, out)
     out = jnp.where(is_pad[:, :, None, None], 0.0, out)
     return out

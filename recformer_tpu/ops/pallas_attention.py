@@ -44,6 +44,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .attention import NEG_INF, _global_rows, global_prefix_indices
 
@@ -56,6 +57,22 @@ def _band_iota_mask(block_q: int, band: int, half: int):
     t = jax.lax.broadcasted_iota(jnp.int32, (block_q, band), 0)
     u = jax.lax.broadcasted_iota(jnp.int32, (block_q, band), 1)
     return jnp.abs(t - (u - half)) <= half
+
+
+def _dropout_keep(seed, b, hp, i, h, nb: int, hpb: int,
+                  rows: int, cols: int, rate: float):
+    """(rows, cols) keep-mask from the TPU hardware PRNG. Seeding is fully
+    determined by (seed, program ids, loop indices), so the backward kernel
+    regenerates the exact mask the forward kernel drew. Mosaic's prng_seed
+    takes at most two values, so (b, hp, i, h) fold into one per-draw index.
+    The draw is padded to a 128-multiple lane width (Mosaic vector tiling)
+    and statically sliced."""
+    cols_pad = ((cols + 127) // 128) * 128
+    combo = ((b * pl.num_programs(1) + hp) * nb + i) * hpb + h
+    pltpu.prng_seed(seed, combo)
+    bits = pltpu.prng_random_bits((rows, cols_pad)).astype(jnp.uint32)
+    thresh = jnp.uint32(min(int(rate * 2.0 ** 32), 2 ** 32 - 1))
+    return bits[:, :cols] >= thresh
 
 
 def _heads_per_block(num_heads: int, head_dim: int) -> int:
@@ -74,8 +91,9 @@ def _heads_per_block(num_heads: int, head_dim: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
-                out_ref, *, block_q: int, window: int, num_globals: int,
-                scale: float, nb: int, hpb: int, head_dim: int):
+                seed_ref, out_ref, *, block_q: int, window: int, num_globals: int,
+                scale: float, nb: int, hpb: int, head_dim: int,
+                dropout_rate: float):
     half = window // 2
     band = block_q + window
     in_dtype = q_ref.dtype
@@ -111,6 +129,11 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
             e = jnp.exp(all_scores - m)
             denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
             p = e / denom
+            if dropout_rate > 0.0:
+                keep = _dropout_keep(seed_ref[0], pl.program_id(0),
+                                     pl.program_id(1), i, h, nb, hpb,
+                                     block_q, band + num_globals, dropout_rate)
+                p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
 
             out = jax.lax.dot_general(
                 p[:, :band].astype(in_dtype), v_band, (((1,), (0,)), ((), ())),
@@ -129,10 +152,11 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
-                dout_ref,
+                seed_ref, dout_ref,
                 dq_ref, dkpad_ref, dvpad_ref, dgk_ref, dgv_ref,
                 *, block_q: int, window: int, num_globals: int,
-                scale: float, nb: int, hpb: int, head_dim: int):
+                scale: float, nb: int, hpb: int, head_dim: int,
+                dropout_rate: float):
     half = window // 2
     band = block_q + window
     in_dtype = q_ref.dtype
@@ -173,6 +197,19 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
             denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
             p = e / denom  # (block_q, band + G)
 
+            # dropout: regenerate the forward kernel's exact keep-mask.
+            # out = (m . p) V with m = keep/(1-rate), so dL/dp = m . (dout V^T)
+            # and dV = (m . p)^T dout; softmax backward then runs on the
+            # *undropped* p with the masked upstream grad.
+            if dropout_rate > 0.0:
+                keep = _dropout_keep(seed_ref[0], pl.program_id(0),
+                                     pl.program_id(1), i, h, nb, hpb,
+                                     block_q, band + num_globals, dropout_rate)
+                inv = 1.0 / (1.0 - dropout_rate)
+                p_drop = jnp.where(keep, p * inv, 0.0)
+            else:
+                p_drop = p
+
             # softmax backward
             dp_band = jax.lax.dot_general(dout, v_band, (((1,), (1,)), ((), ())),
                                           preferred_element_type=jnp.float32)
@@ -180,6 +217,8 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
                                        (((1,), (1,)), ((), ())),
                                        preferred_element_type=jnp.float32)
             dp = jnp.concatenate([dp_band, dp_g], axis=1)
+            if dropout_rate > 0.0:
+                dp = jnp.where(keep, dp * inv, 0.0)
             row_dot = jnp.sum(p * dp, axis=1, keepdims=True)
             ds = p * (dp - row_dot)  # (bq, band + G)
 
@@ -195,7 +234,7 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
             dk_band = jax.lax.dot_general(ds_c[:, :band], q,
                                           (((0,), (0,)), ((), ())),
                                           preferred_element_type=jnp.float32)
-            dv_band = jax.lax.dot_general(p[:, :band].astype(in_dtype), dout,
+            dv_band = jax.lax.dot_general(p_drop[:, :band].astype(in_dtype), dout,
                                           (((0,), (0,)), ((), ())),
                                           preferred_element_type=jnp.float32)
             cur_k = dkpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
@@ -208,7 +247,7 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
             dgk_acc[h] += jax.lax.dot_general(ds[:, band:], q.astype(jnp.float32),
                                               (((0,), (0,)), ((), ())),
                                               preferred_element_type=jnp.float32)
-            dgv_acc[h] += jax.lax.dot_general(p[:, band:], dout.astype(jnp.float32),
+            dgv_acc[h] += jax.lax.dot_general(p_drop[:, band:], dout.astype(jnp.float32),
                                               (((0,), (0,)), ((), ())),
                                               preferred_element_type=jnp.float32)
 
@@ -235,12 +274,14 @@ def _grid_and_specs(B, L, HD, W, num_globals, num_heads):
         pl.BlockSpec((1, num_globals, lane), blk),  # gk
         pl.BlockSpec((1, num_globals, lane), blk),  # gv
         pl.BlockSpec((1, 1, num_globals), row),     # gvalid
+        pl.BlockSpec(memory_space=pltpu.SMEM),      # dropout seed (1,) int32
     ]
     return (B, HP), in_specs, blk, D, hpb, lane
 
 
-def _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
-                        *, block_q, window, num_globals, num_heads, interpret):
+def _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed,
+                        *, block_q, window, num_globals, num_heads, interpret,
+                        dropout_rate):
     B, L, HD = q2.shape
     nb = L // block_q
     W = window
@@ -249,7 +290,7 @@ def _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
     scale = 1.0 / (D ** 0.5)
     kernel = functools.partial(
         _fwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
-        scale=scale, nb=nb, hpb=hpb, head_dim=D,
+        scale=scale, nb=nb, hpb=hpb, head_dim=D, dropout_rate=dropout_rate,
     )
     return pl.pallas_call(
         kernel,
@@ -258,11 +299,12 @@ def _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
         out_specs=pl.BlockSpec((1, L, lane), blk),
         out_shape=jax.ShapeDtypeStruct((B, L, HD), q2.dtype),
         interpret=interpret,
-    )(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2)
+    )(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed)
 
 
-def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, dout2,
-                        *, block_q, window, num_globals, num_heads, interpret):
+def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed, dout2,
+                        *, block_q, window, num_globals, num_heads, interpret,
+                        dropout_rate):
     B, L, HD = q2.shape
     nb = L // block_q
     W = window
@@ -271,7 +313,7 @@ def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, dout2,
     scale = 1.0 / (D ** 0.5)
     kernel = functools.partial(
         _bwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
-        scale=scale, nb=nb, hpb=hpb, head_dim=D,
+        scale=scale, nb=nb, hpb=hpb, head_dim=D, dropout_rate=dropout_rate,
     )
     out_shapes = (
         jax.ShapeDtypeStruct((B, L, HD), q2.dtype),          # dq
@@ -294,37 +336,41 @@ def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, dout2,
         ),
         out_shape=out_shapes,
         interpret=interpret,
-    )(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, dout2)
+    )(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed, dout2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
-def _band_core(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
-               block_q, window, num_globals, num_heads, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def _band_core(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed,
+               block_q, window, num_globals, num_heads, interpret,
+               dropout_rate):
     return _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
-                               block_q=block_q, window=window,
+                               seed, block_q=block_q, window=window,
                                num_globals=num_globals, num_heads=num_heads,
-                               interpret=interpret)
+                               interpret=interpret, dropout_rate=dropout_rate)
 
 
-def _band_core_fwd(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
-                   block_q, window, num_globals, num_heads, interpret):
+def _band_core_fwd(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed,
+                   block_q, window, num_globals, num_heads, interpret,
+                   dropout_rate):
     out = _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
-                              block_q=block_q, window=window,
+                              seed, block_q=block_q, window=window,
                               num_globals=num_globals, num_heads=num_heads,
-                              interpret=interpret)
-    return out, (q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2)
+                              interpret=interpret, dropout_rate=dropout_rate)
+    return out, (q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed)
 
 
-def _band_core_bwd(block_q, window, num_globals, num_heads, interpret, res, dout):
-    q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2 = res
+def _band_core_bwd(block_q, window, num_globals, num_heads, interpret,
+                   dropout_rate, res, dout):
+    q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed = res
     dq, dkpad, dvpad, dgk, dgv = _band_core_bwd_call(
-        q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, dout.astype(q2.dtype),
+        q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed,
+        dout.astype(q2.dtype),
         block_q=block_q, window=window, num_globals=num_globals,
-        num_heads=num_heads, interpret=interpret,
+        num_heads=num_heads, interpret=interpret, dropout_rate=dropout_rate,
     )
     return (dq.astype(q2.dtype), dkpad.astype(kpad2.dtype),
             dvpad.astype(vpad2.dtype), None,
-            dgk.astype(gk2.dtype), dgv.astype(gv2.dtype), None)
+            dgk.astype(gk2.dtype), dgv.astype(gv2.dtype), None, None)
 
 
 _band_core.defvjp(_band_core_fwd, _band_core_bwd)
@@ -334,7 +380,8 @@ _band_core.defvjp(_band_core_fwd, _band_core_bwd)
 # Public entry point
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("window", "block_q", "max_globals", "interpret"))
+@functools.partial(jax.jit, static_argnames=("window", "block_q", "max_globals",
+                                              "interpret", "dropout_rate"))
 def pallas_window_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -347,9 +394,34 @@ def pallas_window_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     max_globals: int = 1,
     interpret: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
-    """Same contract as :func:`attention.dense_attention`; fused TPU kernel."""
+    """Same contract as :func:`attention.dense_attention`; fused TPU kernel.
+
+    Attention-probs dropout runs *inside* the kernel on the TPU hardware PRNG
+    (no (B, H, L, band) mask tensor in HBM). The interpret backend has no
+    PRNG primitives, so interpret-mode dropout falls back to the (same-math)
+    XLA chunked implementation."""
     B, L, H, D = q.shape
+    if dropout_rate > 0.0 and dropout_rng is None:
+        raise ValueError("dropout_rate > 0 requires a dropout_rng key")
+    if interpret and dropout_rate > 0.0:
+        import math
+
+        from .attention import chunked_attention
+
+        return chunked_attention(q, k, v, q_g, k_g, v_g, mask, window,
+                                 block=math.gcd(L, 128),
+                                 max_globals=max_globals,
+                                 dropout_rate=dropout_rate,
+                                 dropout_rng=dropout_rng)
+    if dropout_rate > 0.0:
+        rng_band, rng_glb = jax.random.split(dropout_rng)
+        seed = jax.random.bits(rng_band, (1,), jnp.uint32).astype(jnp.int32)
+    else:
+        rng_glb = None
+        seed = jnp.zeros((1,), jnp.int32)
     HD = H * D
     block_q = min(block_q, L)
     if L % block_q:
@@ -373,12 +445,14 @@ def pallas_window_attention(
     gv2 = jnp.take_along_axis(v.reshape(B, L, HD), gidx[:, :, None], axis=1)
     gvalid2 = gvalid.astype(jnp.int32)[:, None, :]  # (B, 1, G)
 
-    out2 = _band_core(q2, kpad, vpad, keyloc2, gk2, gv2, gvalid2,
-                      block_q, window, max_globals, H, interpret)
+    out2 = _band_core(q2, kpad, vpad, keyloc2, gk2, gv2, gvalid2, seed,
+                      block_q, window, max_globals, H, interpret,
+                      float(dropout_rate))
     out = out2.reshape(B, L, H, D).astype(q.dtype)
 
     # global query rows (dedicated projections) + padding zeroing
-    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals)
+    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals,
+                         dropout_rate, rng_glb)
     out = jnp.where(is_global[:, :, None, None], g_out, out)
     out = jnp.where(is_pad[:, :, None, None], 0.0, out)
     return out

@@ -97,3 +97,58 @@ def test_gradients_flow():
     for gi in g:
         assert np.isfinite(np.asarray(gi)).all()
         assert np.abs(np.asarray(gi)).sum() > 0
+
+
+# ---------------------------------------------------------------------------
+# attention-probs dropout (HF attention_probs_dropout_prob semantics)
+# ---------------------------------------------------------------------------
+
+def test_dropout_deterministic_per_key_and_off_by_default():
+    q, k, v, qg, kg, vg, mask = make_inputs(jax.random.PRNGKey(7))
+    clean = chunked_attention(q, k, v, qg, kg, vg, mask, 8, block=16)
+    rng = jax.random.PRNGKey(1)
+    d1 = chunked_attention(q, k, v, qg, kg, vg, mask, 8, block=16,
+                           dropout_rate=0.5, dropout_rng=rng)
+    d2 = chunked_attention(q, k, v, qg, kg, vg, mask, 8, block=16,
+                           dropout_rate=0.5, dropout_rng=rng)
+    d3 = chunked_attention(q, k, v, qg, kg, vg, mask, 8, block=16,
+                           dropout_rate=0.5, dropout_rng=jax.random.PRNGKey(2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    assert not np.allclose(np.asarray(d1), np.asarray(d3))
+    assert not np.allclose(np.asarray(d1), np.asarray(clean))
+    # the global CLS row is dropped too (separate rng branch)
+    assert not np.allclose(np.asarray(d1)[:, 0], np.asarray(clean)[:, 0])
+
+
+@pytest.mark.parametrize("impl", ["dense", "chunked"])
+def test_dropout_is_unbiased(impl):
+    """Inverted dropout: E over keys of the dropped output == clean output."""
+    q, k, v, qg, kg, vg, mask = make_inputs(jax.random.PRNGKey(8), L=32, n_pad=(0, 5))
+    fn = dense_attention if impl == "dense" else (
+        lambda *a, **kw: chunked_attention(*a, block=16, **kw))
+    clean = np.asarray(fn(q, k, v, qg, kg, vg, mask, 8))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    outs = jax.vmap(
+        lambda r: fn(q, k, v, qg, kg, vg, mask, 8, dropout_rate=0.3,
+                     dropout_rng=r)
+    )(keys)
+    mean = np.asarray(jnp.mean(outs, axis=0))
+    # padding rows stay exactly zero under dropout
+    np.testing.assert_array_equal(mean[1, -5:], 0.0)
+    np.testing.assert_allclose(mean, clean, atol=0.15)
+
+
+def test_dropout_grads_flow():
+    q, k, v, qg, kg, vg, mask = make_inputs(jax.random.PRNGKey(9))
+    rng = jax.random.PRNGKey(3)
+
+    def loss(q, k, v):
+        out = chunked_attention(q, k, v, qg, kg, vg, mask, 8, block=16,
+                                dropout_rate=0.5, dropout_rng=rng)
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for gi in g:
+        assert np.isfinite(np.asarray(gi)).all()
+        assert np.abs(np.asarray(gi)).sum() > 0

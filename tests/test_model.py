@@ -188,3 +188,27 @@ def test_full_4096_context_config():
     hidden, pooled = model.apply(params, **b)
     assert hidden.shape == (1, 4096, cfg.hidden_size)
     assert np.isfinite(np.asarray(pooled)).all()
+
+
+def test_attention_probs_dropout_active_in_training(cfg, batch):
+    """attention_probs_dropout_prob is applied in train mode (HF Longformer
+    drops post-softmax attention probabilities) and off in eval mode."""
+    drop_cfg = cfg.replace(attention_probs_dropout_prob=0.5)
+    model = RecformerModel(drop_cfg)
+    params = model.init(jax.random.PRNGKey(0), **batch)
+
+    _, eval_pooled = model.apply(params, **batch, deterministic=True)
+    _, t1 = model.apply(params, **batch, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+    _, t2 = model.apply(params, **batch, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+    _, t3 = model.apply(params, **batch, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    assert not np.allclose(np.asarray(t1), np.asarray(t3))
+    assert not np.allclose(np.asarray(t1), np.asarray(eval_pooled))
+    # eval mode is unaffected by the dropout config
+    base = RecformerModel(cfg)
+    _, eval_base = base.apply(params, **batch, deterministic=True)
+    np.testing.assert_array_equal(np.asarray(eval_pooled), np.asarray(eval_base))

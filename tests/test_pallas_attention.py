@@ -188,3 +188,27 @@ def test_pallas_head_packing_gradients_odd_heads():
     gc = jax.grad(loss_c, argnums=tuple(range(6)))(q, k, v, qg, kg, vg)
     for a, b in zip(gp, gc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_interpret_dropout_falls_back_to_chunked():
+    """The interpret backend has no TPU PRNG; with dropout active the wrapper
+    must route to the XLA chunked implementation (same-math, same rng)."""
+    import math
+
+    q, k, v, qg, kg, vg, mask = make_inputs(jax.random.PRNGKey(11))
+    L = q.shape[1]
+    rng = jax.random.PRNGKey(5)
+    out = pallas_window_attention(q, k, v, qg, kg, vg, mask, 8, block_q=16,
+                                  interpret=True, dropout_rate=0.4,
+                                  dropout_rng=rng)
+    ref = chunked_attention(q, k, v, qg, kg, vg, mask, 8,
+                            block=math.gcd(L, 128), dropout_rate=0.4,
+                            dropout_rng=rng)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_dropout_requires_rng():
+    q, k, v, qg, kg, vg, mask = make_inputs(jax.random.PRNGKey(12))
+    with pytest.raises(ValueError, match="dropout_rng"):
+        pallas_window_attention(q, k, v, qg, kg, vg, mask, 8, block_q=16,
+                                interpret=True, dropout_rate=0.1)
