@@ -27,6 +27,7 @@ from ..utils.clustering import (
     kmeans_sweep,
     pca_project,
     pick_optimal_k,
+    save_cluster_plots,
     tsne_project,
 )
 from ..utils.io import load_finetune_artifacts, read_json
@@ -110,6 +111,7 @@ def main(argv=None):
         np.save(emb_cache, embeddings)
         np.save(pred_cache, preds)
 
+    sweep = None
     if args.n_clusters is None:
         sweep = kmeans_sweep(embeddings, args.min_clusters, args.max_clusters)
         k = pick_optimal_k(sweep)
@@ -138,6 +140,9 @@ def main(argv=None):
     np.save(os.path.join(args.output_dir, "cluster_labels.npy"), labels)
     np.save(os.path.join(args.output_dir, "cluster_centers.npy"), centers)
     np.save(os.path.join(args.output_dir, f"{args.projection}_2d.npy"), proj)
+    plots = save_cluster_plots(args.output_dir, proj, labels, sweep=sweep,
+                               optimal_k=k, overlay=extra.get("fraud"))
+    print(f"[cluster] plots: {plots}")
     with open(os.path.join(args.output_dir, "cluster_stats.json"), "w") as f:
         json.dump({"k": int(k), "inertia": inertia, "clusters": stats}, f, indent=2)
     print(f"[cluster] k={k} inertia={inertia:.2f} stats={stats}")

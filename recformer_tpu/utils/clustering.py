@@ -12,6 +12,7 @@ subsample. No sklearn/umap dependency.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -210,6 +211,65 @@ def cluster_description_prompt(cluster_id: int, item_titles: list, stats: Dict) 
         f"Representative items interacted with by this cluster:\n{sample}\n\n"
         f"Describe in 2-3 sentences what characterizes this user cluster."
     )
+
+
+def save_cluster_plots(output_dir: str, proj: np.ndarray, labels: np.ndarray,
+                       sweep: Optional[Dict[int, Dict[str, float]]] = None,
+                       optimal_k: Optional[int] = None,
+                       overlay: Optional[np.ndarray] = None,
+                       overlay_name: str = "fraud") -> list:
+    """Export the reference's analytics figures (``cluster.py:108-181``):
+    elbow+silhouette curves from the k sweep, a 2-D scatter colored by cluster,
+    and (optionally) the same scatter colored by an overlay signal such as
+    fraud labels (``cluster.py:766-774``). Headless (Agg); returns the written
+    paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    written = []
+    if sweep:
+        ks = sorted(sweep)
+        fig, ax1 = plt.subplots(figsize=(7, 4))
+        ax1.plot(ks, [sweep[k]["inertia"] for k in ks], "o-", color="tab:blue",
+                 label="inertia")
+        ax1.set_xlabel("k")
+        ax1.set_ylabel("inertia", color="tab:blue")
+        ax2 = ax1.twinx()
+        ax2.plot(ks, [sweep[k]["silhouette"] for k in ks], "s--",
+                 color="tab:orange", label="silhouette")
+        ax2.set_ylabel("silhouette", color="tab:orange")
+        if optimal_k is not None:
+            ax1.axvline(optimal_k, color="gray", ls=":", label=f"optimal k={optimal_k}")
+        ax1.set_title("KMeans sweep: elbow + silhouette")
+        fig.tight_layout()
+        path = os.path.join(output_dir, "k_sweep.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        written.append(path)
+
+    fig, ax = plt.subplots(figsize=(6, 5))
+    sc = ax.scatter(proj[:, 0], proj[:, 1], c=labels, cmap="tab10", s=12)
+    ax.set_title(f"user-sequence embeddings ({len(np.unique(labels))} clusters)")
+    fig.colorbar(sc, ax=ax, label="cluster")
+    fig.tight_layout()
+    path = os.path.join(output_dir, "clusters_2d.png")
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    written.append(path)
+
+    if overlay is not None:
+        fig, ax = plt.subplots(figsize=(6, 5))
+        sc = ax.scatter(proj[:, 0], proj[:, 1], c=overlay, cmap="coolwarm", s=12)
+        ax.set_title(f"{overlay_name} overlay")
+        fig.colorbar(sc, ax=ax, label=overlay_name)
+        fig.tight_layout()
+        path = os.path.join(output_dir, f"{overlay_name}_overlay_2d.png")
+        fig.savefig(path, dpi=120)
+        plt.close(fig)
+        written.append(path)
+    return written
 
 
 def cluster_stats(labels: np.ndarray, extra: Optional[Dict[str, np.ndarray]] = None) -> Dict:

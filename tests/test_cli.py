@@ -90,6 +90,9 @@ def test_cluster_driver(artifacts, tmp_path):
     assert (out / "cluster_stats.json").exists()
     assert (out / "k_sweep.json").exists()
     assert (out / "pca_2d.npy").exists()
+    # analytics figures (reference cluster.py:108-181)
+    assert (out / "k_sweep.png").exists()
+    assert (out / "clusters_2d.png").exists()
 
 
 def test_fraud_driver(artifacts, tmp_path):
