@@ -56,8 +56,12 @@ class RecformerConfig:
     attention_window: Tuple[int, ...] = (64,) * 12
     # 'dense' = full masked attention (numerics oracle),
     # 'chunked' = XLA sliding-chunks banded attention,
-    # 'pallas' = fused Pallas windowed+global kernel.
+    # 'pallas' = fused Pallas windowed+global kernel,
+    # 'sequence_parallel' = context-parallel halo attention; the forward must
+    #   run inside shard_map with dim 1 sharded over `sequence_axis`
+    #   (see parallel/sequence.make_sequence_parallel_forward).
     attention_impl: str = "chunked"
+    sequence_axis: str = "seq"
     # 'xla' = let XLA fuse the 4-embedding sum + LayerNorm,
     # 'pallas' = fused Pallas sum+LN kernel (one VMEM pass, custom VJP).
     embed_ln_impl: str = "xla"
@@ -143,7 +147,8 @@ class RecformerConfig:
             )
         if self.pooler_type not in ("cls", "avg"):
             raise ValueError(f"unknown pooler_type {self.pooler_type!r}")
-        if self.attention_impl not in ("dense", "chunked", "pallas"):
+        if self.attention_impl not in ("dense", "chunked", "pallas",
+                                       "sequence_parallel"):
             raise ValueError(f"unknown attention_impl {self.attention_impl!r}")
         if self.embed_ln_impl not in ("xla", "pallas"):
             raise ValueError(f"unknown embed_ln_impl {self.embed_ln_impl!r}")

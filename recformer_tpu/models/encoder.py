@@ -79,6 +79,15 @@ class LongformerSelfAttention(nn.Module):
             out = pallas_window_attention(q, k, v, q_g, k_g, v_g, mask,
                                           self.window, dropout_rate=drop_rate,
                                           dropout_rng=drop_rng)
+        elif cfg.attention_impl == "sequence_parallel":
+            # context-parallel halo attention: this forward must be running
+            # inside shard_map with dim 1 (tokens) sharded on cfg.sequence_axis
+            from ..parallel.sequence import sequence_parallel_attention
+
+            out = sequence_parallel_attention(
+                q, k, v, q_g, k_g, v_g, mask, self.window,
+                axis_name=cfg.sequence_axis, dropout_rate=drop_rate,
+                dropout_rng=drop_rng)
         else:  # pragma: no cover
             raise ValueError(cfg.attention_impl)
 

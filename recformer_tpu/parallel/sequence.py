@@ -169,7 +169,10 @@ def sequence_parallel_attention(
     # --- global query rows: flash-style distributed softmax ------------
     # every shard contributes its local k_g/v_g slice to every shard's
     # global query; queries are all_gathered (tiny: n*G rows)
-    qg_loc = jnp.take_along_axis(q_g, gidx[:, :, None, None], axis=1)  # (B, G, H, D)
+    if q_g.shape[1] == G and G != Ls:
+        qg_loc = q_g  # pre-gathered at this shard's global rows (encoder path)
+    else:
+        qg_loc = jnp.take_along_axis(q_g, gidx[:, :, None, None], axis=1)  # (B, G, H, D)
     qg_all = jax.lax.all_gather(qg_loc, axis_name, axis=1).reshape(B, n * G, H, D)
     g_scores = jnp.einsum("bghd,bmhd->bhgm", qg_all * scale, k_g,
                           preferred_element_type=jnp.float32)  # (B, H, nG, Ls)
@@ -206,6 +209,84 @@ def sequence_parallel_attention(
     out = jnp.where(is_global[:, :, None, None], g_rows, out)
     out = jnp.where(is_pad[:, :, None, None], 0.0, out)
     return out
+
+
+def make_sequence_parallel_forward(model, mesh: Mesh,
+                                   axis_name: str = SEQ_AXIS):
+    """Full backbone forward (embeddings -> encoder -> pooler) with the TOKEN
+    dim sharded over ``axis_name`` — contexts larger than one chip's HBM.
+
+    ``model`` is a ``RecformerModel`` whose config has
+    ``attention_impl='sequence_parallel'`` (the encoder then calls the halo
+    op, which requires being inside this shard_map). Returns
+    ``run(params, batch, rng=None) -> (hidden, pooled)``.
+
+    NOTE: initialize ``params`` with a non-SP config (e.g.
+    ``cfg.replace(attention_impl='chunked')`` — identical param tree):
+    ``model.init`` runs the forward outside the mesh, where the SP op's
+    collectives have no bound axis.
+
+    The only cross-shard sequential dependency outside attention is the
+    padding-aware position-id cumsum — computed full-length OUTSIDE the
+    shard_map (a trivial sharded prefix op under GSPMD) and passed through
+    the model's ``position_ids`` input. CLS pooling also happens outside
+    (row 0 of the sharded hidden). Hidden dropout streams are decorrelated
+    across shards by folding the shard index into the rng.
+    """
+    from ..models.embeddings import create_position_ids_from_input_ids
+    from ..models.recformer import merge_attention_masks
+
+    cfg = model.config
+    spec = P(None, axis_name)
+
+    def encode_only(mdl, input_ids, attention_mask, global_attention_mask,
+                    token_type_ids, item_position_ids, position_ids,
+                    deterministic):
+        mask = merge_attention_masks(attention_mask, global_attention_mask)
+        x = mdl.embeddings(input_ids=input_ids, token_type_ids=token_type_ids,
+                           item_position_ids=item_position_ids,
+                           position_ids=position_ids,
+                           deterministic=deterministic)
+        return mdl.encoder(x, mask, deterministic)
+
+    def shard_fn(params, rng, input_ids, attention_mask, global_attention_mask,
+                 token_type_ids, item_position_ids, position_ids):
+        deterministic = rng is None
+        rngs = None
+        if not deterministic:
+            rngs = {"dropout": jax.random.fold_in(
+                rng, jax.lax.axis_index(axis_name))}
+        return model.apply(params, input_ids, attention_mask,
+                           global_attention_mask, token_type_ids,
+                           item_position_ids, position_ids, deterministic,
+                           method=encode_only, rngs=rngs)
+
+    def mapped(params, rng, *arrays):
+        # params/rng replicated (P() prefix specs), token dim sharded
+        return jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=(P(), P()) + (spec,) * 6,
+            out_specs=spec, check_vma=False,
+        )(params, rng, *arrays)
+
+    @functools.partial(jax.jit, static_argnames=("deterministic",))
+    def run(params, batch, rng=None, deterministic=True):
+        pos = create_position_ids_from_input_ids(batch["input_ids"],
+                                                 cfg.pad_token_id)
+        arrays = (batch["input_ids"], batch["attention_mask"],
+                  batch["global_attention_mask"], batch["token_type_ids"],
+                  batch["item_position_ids"], pos)
+        hidden = mapped(params, None if deterministic else rng, *arrays)
+        merged = merge_attention_masks(batch["attention_mask"],
+                                       batch["global_attention_mask"])
+        if cfg.pooler_type == "cls":
+            pooled = hidden[:, 0]
+        else:
+            w = merged.astype(hidden.dtype)
+            pooled = (hidden * w[:, :, None]).sum(1) / jnp.maximum(
+                w.sum(-1), 1e-6)[:, None]
+        return hidden, pooled
+
+    return run
 
 
 def make_sequence_parallel_attention(mesh: Mesh, window: int,

@@ -124,3 +124,72 @@ def test_dropout_unbiased_and_deterministic():
     mean = np.mean(np.stack([np.asarray(mapped(kk, q, k, v, qg, kg, vg, mask))
                              for kk in keys[:64]]), axis=0)
     np.testing.assert_allclose(mean, np.asarray(clean), atol=0.15)
+
+
+def test_full_model_forward_sequence_parallel():
+    """Whole backbone (embeddings -> encoder -> pooler) with the token dim
+    sharded over 8 devices matches the single-device dense model."""
+    from recformer_tpu.config import RecformerConfig
+    from recformer_tpu.data.tokenization import RecformerTokenizer
+    from recformer_tpu.data.vocab import SimpleVocab
+    from recformer_tpu.models.recformer import RecformerModel
+    from recformer_tpu.parallel.sequence import make_sequence_parallel_forward
+
+    cfg_sp = RecformerConfig.tiny(attention_impl="sequence_parallel",
+                                  hidden_dropout_prob=0.0,
+                                  attention_probs_dropout_prob=0.0,
+                                  dtype="float32")
+    cfg_ref = cfg_sp.replace(attention_impl="dense")
+
+    tok = RecformerTokenizer(cfg_sp, SimpleVocab(vocab_size=cfg_sp.vocab_size))
+    seqs = [
+        [{"brand": f"b{i}", "color": "blue green red"} for i in range(7)],
+        [{"brand": "solo", "size": "tiny"}],
+    ]
+    arrs = tok.batch_encode(seqs, pad_to_max=True)
+    batch = {k: jnp.asarray(v) for k, v in arrs.items() if k != "word_begin"}
+
+    ref_model = RecformerModel(cfg_ref)
+    params = ref_model.init(jax.random.PRNGKey(0), **batch)
+    hidden_ref, pooled_ref = ref_model.apply(params, **batch)
+
+    mesh = seq_mesh()
+    sp_model = RecformerModel(cfg_sp)
+    run = make_sequence_parallel_forward(sp_model, mesh)
+    hidden_sp, pooled_sp = run(params, batch)
+
+    np.testing.assert_allclose(np.asarray(hidden_sp), np.asarray(hidden_ref),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pooled_sp), np.asarray(pooled_ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_full_model_training_mode_runs_sharded():
+    """Train-mode forward (both dropouts active) executes under the sharded
+    wrapper and is deterministic per rng key."""
+    from recformer_tpu.config import RecformerConfig
+    from recformer_tpu.data.tokenization import RecformerTokenizer
+    from recformer_tpu.data.vocab import SimpleVocab
+    from recformer_tpu.models.recformer import RecformerModel
+    from recformer_tpu.parallel.sequence import make_sequence_parallel_forward
+
+    cfg = RecformerConfig.tiny(attention_impl="sequence_parallel",
+                               dtype="float32")
+    tok = RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
+    arrs = tok.batch_encode(
+        [[{"brand": "x", "color": "y z"} for _ in range(4)]], pad_to_max=True)
+    batch = {k: jnp.asarray(v) for k, v in arrs.items() if k != "word_begin"}
+
+    model = RecformerModel(cfg)
+    # init must run a non-sharded impl (same param tree; the SP op needs the
+    # shard_map axis which init doesn't have)
+    params = RecformerModel(cfg.replace(attention_impl="dense")).init(
+        jax.random.PRNGKey(0), **batch)
+    run = make_sequence_parallel_forward(model, seq_mesh())
+    _, p_eval = run(params, batch)
+    _, p1 = run(params, batch, rng=jax.random.PRNGKey(1), deterministic=False)
+    _, p2 = run(params, batch, rng=jax.random.PRNGKey(1), deterministic=False)
+    _, p3 = run(params, batch, rng=jax.random.PRNGKey(2), deterministic=False)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    assert not np.allclose(np.asarray(p1), np.asarray(p3))
+    assert not np.allclose(np.asarray(p1), np.asarray(p_eval))
