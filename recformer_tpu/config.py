@@ -65,6 +65,15 @@ class RecformerConfig:
     # 'xla' = let XLA fuse the 4-embedding sum + LayerNorm,
     # 'pallas' = fused Pallas sum+LN kernel (one VMEM pass, custom VJP).
     embed_ln_impl: str = "xla"
+    # How the key_global/value_global projections are applied. The global
+    # query rows (<= 1 per sequence) are the ONLY consumers of those two
+    # full-length (L, hs, hs) GEMMs per layer. 'thin' reassociates
+    # x @ (W_kg q_g) instead of (x @ W_kg) q_g, turning both projections
+    # (and their backward) into N=heads-wide thin GEMMs — same math, ~64x
+    # fewer FLOPs. 'full' materializes k_g/v_g like the reference's HF
+    # Longformer (and is required by attention_impl='sequence_parallel',
+    # which shards the full-length tensors).
+    global_kv_mode: str = "thin"
 
     # --- rec-specific data contract ---
     token_type_size: int = 4
@@ -152,6 +161,8 @@ class RecformerConfig:
             raise ValueError(f"unknown attention_impl {self.attention_impl!r}")
         if self.embed_ln_impl not in ("xla", "pallas"):
             raise ValueError(f"unknown embed_ln_impl {self.embed_ln_impl!r}")
+        if self.global_kv_mode not in ("thin", "full"):
+            raise ValueError(f"unknown global_kv_mode {self.global_kv_mode!r}")
         if self.scan_layers and len(set(self.attention_window)) != 1:
             raise ValueError("scan_layers requires all attention windows equal")
         if self.contrastive_gradient not in ("full", "local"):

@@ -13,15 +13,33 @@ The attention implementation is selected by ``config.attention_impl``
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..config import RecformerConfig
-from ..ops.attention import chunked_attention, dense_attention, global_prefix_indices
+from ..ops.attention import (chunked_attention, dense_attention,
+                             global_prefix_indices, global_rows_thin)
 
 # The data contract has exactly one global token per sequence (the <s>/CLS
 # row, tokenization sets global_attention_mask=[1,0,...]; reference
 # tokenization.py:98-99) — matching the attention ops' max_globals default.
 _MAX_GLOBALS = 1
+
+
+class _ProjWeights(nn.Module):
+    """Raw (kernel, bias) with the exact param tree of an ``nn.Dense`` of the
+    same name — so ``global_kv_mode`` flips freely on one checkpoint."""
+
+    config: RecformerConfig
+
+    @nn.compact
+    def __call__(self):
+        cfg = self.config
+        kernel = self.param("kernel", nn.initializers.normal(cfg.initializer_range),
+                            (cfg.hidden_size, cfg.hidden_size), cfg.params_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (cfg.hidden_size,), cfg.params_dtype)
+        return kernel, bias
 
 
 class LongformerSelfAttention(nn.Module):
@@ -46,8 +64,18 @@ class LongformerSelfAttention(nn.Module):
         q = heads(proj("query")(hidden))
         k = heads(proj("key")(hidden))
         v = heads(proj("value")(hidden))
-        k_g = heads(proj("key_global")(hidden))
-        v_g = heads(proj("value_global")(hidden))
+        # sequence_parallel shards the full-length k_g/v_g tensors, so it
+        # needs global_kv_mode='full'; everything else defaults to the thin
+        # reassociated path (see global_rows_thin) that never materializes them.
+        thin_global = (cfg.global_kv_mode == "thin"
+                       and cfg.attention_impl != "sequence_parallel")
+        if thin_global:
+            w_kg, b_kg = _ProjWeights(cfg, name="key_global")()
+            w_vg, b_vg = _ProjWeights(cfg, name="value_global")()
+            k_g = v_g = None
+        else:
+            k_g = heads(proj("key_global")(hidden))
+            v_g = heads(proj("value_global")(hidden))
 
         # query_global projects ONLY the gathered global rows: the attention
         # ops read global queries at the (<= max_globals, here 1) global
@@ -65,20 +93,32 @@ class LongformerSelfAttention(nn.Module):
         drop_rate = 0.0 if deterministic else cfg.attention_probs_dropout_prob
         drop_rng = self.make_rng("dropout") if drop_rate > 0.0 else None
 
+        g_out = None
+        if thin_global:
+            # every impl splits drop_rng the same way and uses part [1] for
+            # the global rows; replicate that split so the dropout pattern is
+            # bitwise-identical to the 'full' path
+            rng_glb = (jax.random.split(drop_rng)[1]
+                       if drop_rate > 0.0 else None)
+            g_out = global_rows_thin(hidden, q_g, w_kg, b_kg, w_vg, b_vg,
+                                     mask, dtype, _MAX_GLOBALS,
+                                     drop_rate, rng_glb)
+
         if cfg.attention_impl == "dense":
             out = dense_attention(q, k, v, q_g, k_g, v_g, mask, self.window,
-                                  dropout_rate=drop_rate, dropout_rng=drop_rng)
+                                  dropout_rate=drop_rate, dropout_rng=drop_rng,
+                                  g_out=g_out)
         elif cfg.attention_impl == "chunked":
             block = min(128, L)
             out = chunked_attention(q, k, v, q_g, k_g, v_g, mask, self.window,
                                     block=block, dropout_rate=drop_rate,
-                                    dropout_rng=drop_rng)
+                                    dropout_rng=drop_rng, g_out=g_out)
         elif cfg.attention_impl == "pallas":
             from ..ops.pallas_attention import pallas_window_attention
 
             out = pallas_window_attention(q, k, v, q_g, k_g, v_g, mask,
                                           self.window, dropout_rate=drop_rate,
-                                          dropout_rng=drop_rng)
+                                          dropout_rng=drop_rng, g_out=g_out)
         elif cfg.attention_impl == "sequence_parallel":
             # context-parallel halo attention: this forward must be running
             # inside shard_map with dim 1 (tokens) sharded on cfg.sequence_axis

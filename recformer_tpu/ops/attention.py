@@ -105,6 +105,65 @@ def _global_rows(q_g, k_g, v_g, mask, scale, dtype, max_globals: int = 1,
     return out.at[b_idx, gidx].add(out_g)
 
 
+def global_rows_thin(hidden, qg_sel, w_kg, b_kg, w_vg, b_vg, mask, dtype,
+                     max_globals: int = 1, dropout_rate: float = 0.0,
+                     dropout_rng=None):
+    """Global-row attention WITHOUT materializing the full-length k_g/v_g
+    projections. Same math as projecting ``k_g = hidden @ w_kg + b_kg`` (resp.
+    v_g) and calling :func:`_global_rows`, reassociated so the per-layer
+    ``(L, hs, hs)`` GEMMs collapse to N=heads-wide thin GEMMs:
+
+        scores[l] = q_g . (hidden[l] @ W_kg)  =  hidden[l] . (W_kg^T q_g)
+        out       = probs @ (hidden @ W_vg)   =  (probs @ hidden) @ W_vg
+
+    The global rows are the ONLY consumers of those projections (the banded
+    path's global key columns use the *local* k/v — HF Longformer semantics,
+    reference dependency ``recformer/models.py:12-18``), so at G=1 global row
+    this removes 2 of the 6 full-length projection GEMMs per layer (and their
+    backward) at ~1/64 the FLOPs. Bitwise-identical dropout pattern to
+    ``_global_rows`` (same draw shape and rng).
+
+    ``hidden``: (B, L, hs); ``qg_sel``: (B, G, H, D) pre-gathered global
+    queries (unscaled); ``w_kg``/``w_vg``: (hs, hs); ``b_kg``/``b_vg``: (hs,).
+    Returns (B, L, H, D): global rows hold the attention output, rest zeros.
+    """
+    B, L = mask.shape
+    H, D = qg_sel.shape[2], qg_sel.shape[3]
+    scale = 1.0 / jnp.sqrt(jnp.array(D, jnp.float32)).astype(dtype)
+    is_pad = mask == 0
+    gidx, gvalid = global_prefix_indices(mask, max_globals)  # (B, G)
+    qs = (qg_sel * scale).astype(dtype)
+    # tiny per-global contractions run in fp32 (they are O(G*H*hs*D) — noise;
+    # CPU XLA also lacks a bf16 dot thunk for these shapes)
+    w_kg_h = w_kg.astype(dtype).astype(jnp.float32).reshape(-1, H, D)
+    w_vg_h = w_vg.astype(dtype).astype(jnp.float32).reshape(-1, H, D)
+    qs32 = qs.astype(jnp.float32)
+    # r[e] = sum_d W_kg[e, h, d] * q[g, h, d]  -> tiny (B, G, H, hs)
+    r = jnp.einsum("ehd,bghd->bghe", w_kg_h, qs32)
+    # score bias from k_g's bias: b_kg . q per (g, h)
+    sb = jnp.einsum("hd,bghd->bgh", b_kg.astype(jnp.float32).reshape(H, D),
+                    qs32)
+    scores = jnp.einsum("ble,bghe->bhgl", hidden.astype(dtype), r.astype(dtype),
+                        preferred_element_type=jnp.float32)  # thin GEMM, N=G*H
+    scores = scores + jnp.transpose(sb, (0, 2, 1))[:, :, :, None]
+    scores = jnp.where(is_pad[:, None, None, :], NEG_INF, scores)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)  # (B, H, G, L)
+    probs = _prob_dropout(probs, dropout_rate, dropout_rng)
+    # out = (probs @ hidden) @ W_vg + b_vg * sum(probs)   [sum != 1 w/ dropout]
+    # thin GEMM, M=G*H; dtype output like _global_rows' probs @ v_g (the MXU
+    # still accumulates fp32 internally; CPU lacks a bf16->f32 dot thunk here)
+    t = jnp.einsum("bhgl,ble->bghe", probs.astype(dtype), hidden.astype(dtype))
+    out_g = jnp.einsum("bghe,ehd->bghd", t.astype(jnp.float32), w_vg_h)  # tiny
+    psum = jnp.sum(probs, axis=-1)  # (B, H, G)
+    out_g = out_g + (b_vg.astype(jnp.float32).reshape(1, 1, H, D)
+                     * jnp.transpose(psum, (0, 2, 1))[:, :, :, None])
+    out_g = out_g.astype(dtype)
+    out_g = jnp.where(gvalid[:, :, None, None], out_g, 0.0)
+    out = jnp.zeros((B, L, H, D), dtype)
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], gidx.shape)
+    return out.at[b_idx, gidx].add(out_g)
+
+
 def dense_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -116,6 +175,7 @@ def dense_attention(
     window: int,
     dropout_rate: float = 0.0,
     dropout_rng=None,
+    g_out: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """O(L^2) oracle implementation."""
     B, L, H, D = q.shape
@@ -141,7 +201,9 @@ def dense_attention(
     probs = _prob_dropout(probs, dropout_rate, rng_loc)
     out = jnp.einsum("bhlm,bmhd->blhd", probs.astype(q.dtype), v)
 
-    if q_g.shape[1] != L:
+    if g_out is not None:
+        pass  # precomputed global rows (global_rows_thin fast path)
+    elif q_g.shape[1] != L:
         # pre-gathered (B, G, H, D) global queries (see _global_rows)
         g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, q_g.shape[1],
                              dropout_rate, rng_glb)
@@ -174,6 +236,7 @@ def chunked_attention(
     max_globals: int = 1,
     dropout_rate: float = 0.0,
     dropout_rng=None,
+    g_out: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Banded attention via sliding chunks, O(L * (block + window)).
 
@@ -242,8 +305,9 @@ def chunked_attention(
     out = out.reshape(B, L, H, D)
 
     # --- global query rows + padding ----------------------------------
-    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals,
-                         dropout_rate, rng_glb)
+    if g_out is None:
+        g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals,
+                             dropout_rate, rng_glb)
     out = jnp.where(is_global[:, :, None, None], g_out, out)
     out = jnp.where(is_pad[:, :, None, None], 0.0, out)
     return out

@@ -403,6 +403,7 @@ def pallas_window_attention(
     interpret: bool = False,
     dropout_rate: float = 0.0,
     dropout_rng=None,
+    g_out: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Same contract as :func:`attention.dense_attention`; fused TPU kernel.
 
@@ -422,7 +423,7 @@ def pallas_window_attention(
                                  block=math.gcd(L, 128),
                                  max_globals=max_globals,
                                  dropout_rate=dropout_rate,
-                                 dropout_rng=dropout_rng)
+                                 dropout_rng=dropout_rng, g_out=g_out)
     if dropout_rate > 0.0:
         rng_band, rng_glb = jax.random.split(dropout_rng)
         seed = jax.random.bits(rng_band, (1,), jnp.uint32).astype(jnp.int32)
@@ -458,8 +459,9 @@ def pallas_window_attention(
     out = out2.reshape(B, L, H, D).astype(q.dtype)
 
     # global query rows (dedicated projections) + padding zeroing
-    g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals,
-                         dropout_rate, rng_glb)
+    if g_out is None:
+        g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype, max_globals,
+                             dropout_rate, rng_glb)
     out = jnp.where(is_global[:, :, None, None], g_out, out)
     out = jnp.where(is_pad[:, :, None, None], 0.0, out)
     return out
