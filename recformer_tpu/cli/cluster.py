@@ -23,10 +23,13 @@ from ..models.heads import RecformerForSeqRec, similarity_scores
 from ..training.loops import encode_all_items
 from ..utils.clustering import (
     cluster_stats,
+    get_cluster_description,
     kmeans,
     kmeans_sweep,
     pca_project,
     pick_optimal_k,
+    prediction_metadata_per_cluster,
+    predictions_per_cluster,
     save_cluster_plots,
     tsne_project,
 )
@@ -59,7 +62,24 @@ def parse_args(argv=None):
     p.add_argument("--projection", choices=["pca", "tsne"], default="pca",
                    help="2-D projection for the scatter export "
                         "(reference cluster.py:144-181 offers t-SNE/PCA/UMAP)")
+    p.add_argument("--describe_clusters", action="store_true",
+                   help="LLM cluster descriptions via get_cluster_description "
+                        "(reference cluster.py:290-394; needs OPENAI_API_KEY, "
+                        "the call site is commented out in the reference too)")
+    p.add_argument("--describe_model", type=str, default="gpt-4")
     return p.parse_args(argv)
+
+
+def describe_clusters(labels, preds, meta, id2item, model="gpt-4",
+                      completer=None):
+    """Per-cluster LLM descriptions from the predicted items' metadata —
+    the reference's (commented-out) analytics tail: group predictions by
+    cluster (``cluster.py:428-438``), resolve metadata (``:396-426``), prompt
+    the LLM per cluster (``:290-394``). Returns {cluster: description}."""
+    per_cluster = predictions_per_cluster(labels, list(preds))
+    metas, _ = prediction_metadata_per_cluster(per_cluster, meta, id2item)
+    return {c: get_cluster_description(items, completer=completer, model=model)
+            for c, items in metas.items() if items}
 
 
 def extract_embeddings(params, model, table, dataset, config, batch_size,
@@ -146,6 +166,14 @@ def main(argv=None):
     with open(os.path.join(args.output_dir, "cluster_stats.json"), "w") as f:
         json.dump({"k": int(k), "inertia": inertia, "clusters": stats}, f, indent=2)
     print(f"[cluster] k={k} inertia={inertia:.2f} stats={stats}")
+
+    if args.describe_clusters:
+        descriptions = describe_clusters(labels, preds, meta, id2item,
+                                         model=args.describe_model)
+        with open(os.path.join(args.output_dir, "cluster_descriptions.json"),
+                  "w") as f:
+            json.dump({str(c): d for c, d in descriptions.items()}, f, indent=2)
+        print(f"[cluster] descriptions: {descriptions}")
     return stats
 
 

@@ -198,6 +198,114 @@ def tsne_project(embeddings: np.ndarray, dims: int = 2, perplexity: float = 30.0
     return y.astype(np.float32)
 
 
+def predictions_per_cluster(labels: np.ndarray, prediction_ids) -> Dict[int, list]:
+    """Group per-user predicted item ids by cluster label
+    (``cluster.py:428-438`` ``get_predictions_per_cluster``)."""
+    labels = np.asarray(labels)
+    if len(labels) != len(prediction_ids):
+        raise ValueError(
+            f"labels ({len(labels)}) and prediction_ids ({len(prediction_ids)}) "
+            "must align")
+    return {int(c): [p for p, l in zip(prediction_ids, labels) if l == c]
+            for c in np.unique(labels)}
+
+
+def sequence_ids_per_cluster(labels: np.ndarray, sequence_ids) -> Dict[int, list]:
+    """Group user/sequence ids by cluster label
+    (``cluster.py:440-451`` ``get_sequence_ids_per_cluster_label``)."""
+    return predictions_per_cluster(labels, sequence_ids)
+
+
+def prediction_metadata_per_cluster(
+    preds_per_cluster: Dict[int, list],
+    item_meta: Dict,
+    id2item: Dict,
+) -> tuple:
+    """Resolve predicted item ids to (metadata, item-name) lists per cluster
+    (``cluster.py:396-426`` ``get_prediction_metadata_per_cluster``)."""
+    meta_per_cluster, names_per_cluster = {}, {}
+    for cluster, pred_ids in preds_per_cluster.items():
+        names = [id2item[i] for i in pred_ids]
+        meta_per_cluster[cluster] = [item_meta[n] for n in names]
+        names_per_cluster[cluster] = names
+    return meta_per_cluster, names_per_cluster
+
+
+def get_cluster_description(
+    items_in_cluster: list,
+    completer=None,
+    model: str = "gpt-4",
+    temperature: float = 0.7,
+    max_tokens: int = 200,
+    timeout: int = 30,
+) -> str:
+    """LLM-generated natural-language cluster description
+    (``cluster.py:290-394`` ``get_cluster_description``; the reference's call
+    site is commented out there, the helper is part of its public analytics
+    surface).
+
+    ``completer`` is a pluggable ``fn(system_prompt, user_prompt) -> str``.
+    When ``None``, an OpenAI chat-completions client is constructed exactly
+    like the reference (requires the optional ``openai`` package and the
+    ``OPENAI_API_KEY`` env var — both absent in air-gapped environments, in
+    which case a clear ``ValueError``/``ImportError`` is raised instead of a
+    network hang). Items beyond the first 50 are elided with a note, matching
+    the reference's token-limit guard."""
+    if not items_in_cluster:
+        raise ValueError("Items list cannot be empty")
+
+    max_items = 50
+    display = items_in_cluster[:max_items]
+    note = (f"\n\n[Note: Showing first {max_items} of "
+            f"{len(items_in_cluster)} items]"
+            if len(items_in_cluster) > max_items else "")
+    system = ("You are an expert data analyst specializing in user behavior "
+              "clustering and persona generation.")
+    task = (
+        "You are an expert in analyzing item clusters and generating "
+        "descriptive summaries.\n\n"
+        "You are given a list of items from users in the same cluster. Each "
+        "item is described by a set of characteristics, such as item name, "
+        "category, and other attributes.\n\nYour task is to:\n"
+        "1. Analyze the common patterns across all items\n"
+        "2. Identify shared characteristics and themes among the items\n"
+        "3. Generate a concise cluster description (2-3 sentences) that "
+        "captures the essence of the grouped items\n"
+        "4. Focus on what makes this cluster unique and distinguishable from "
+        "other item groups\n\n"
+        f"Items in Cluster:\n{display}{note}\n\n"
+        "Please provide only the cluster description without additional "
+        "explanation."
+    )
+
+    if completer is None:
+        api_key = os.getenv("OPENAI_API_KEY")
+        if not api_key:
+            raise ValueError("OPENAI_API_KEY environment variable is required")
+        import openai  # optional dependency, like the reference
+
+        kwargs = {"api_key": api_key}
+        if os.getenv("OPENAI_BASE_URL"):
+            kwargs["base_url"] = os.getenv("OPENAI_BASE_URL")
+        client = openai.OpenAI(**kwargs)
+
+        def completer(sys_msg, user_msg):
+            resp = client.chat.completions.create(
+                model=model,
+                messages=[{"role": "system", "content": sys_msg},
+                          {"role": "user", "content": user_msg}],
+                temperature=temperature, max_tokens=max_tokens, top_p=0.9,
+                timeout=timeout)
+            if not resp.choices or not resp.choices[0].message.content:
+                raise RuntimeError("No valid response generated from API")
+            return resp.choices[0].message.content
+
+    description = completer(system, task)
+    if not description or not str(description).strip():
+        raise RuntimeError("Failed to generate cluster description")
+    return str(description).strip()
+
+
 def cluster_description_prompt(cluster_id: int, item_titles: list, stats: Dict) -> str:
     """Build the natural-language cluster-description prompt (the reference
     optionally sends this to GPT-4, ``cluster.py:290-394`` — the call site is
