@@ -37,6 +37,11 @@ class RecformerConfig:
     num_hidden_layers: int = 12
     num_attention_heads: int = 12
     intermediate_size: int = 3072
+    # 'gelu' = exact erf GELU (HF Longformer's hidden_act, the parity
+    # default); 'gelu_tanh' = tanh approximation — measured numerically
+    # indistinguishable at bf16 but ~free on the TPU VPU where XLA's erf
+    # costs +124% on the fused FFN-up GEMM (docs/PERF.md epilogue bench);
+    # 'relu' for completeness.
     hidden_act: str = "gelu"
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
@@ -154,6 +159,8 @@ class RecformerConfig:
                 f"{self.max_token_num + self.pad_token_id + 1} position embeddings, "
                 f"got {self.max_position_embeddings}"
             )
+        if self.hidden_act not in ("gelu", "gelu_tanh", "relu"):
+            raise ValueError(f"unknown hidden_act {self.hidden_act!r}")
         if self.pooler_type not in ("cls", "avg"):
             raise ValueError(f"unknown pooler_type {self.pooler_type!r}")
         if self.attention_impl not in ("dense", "chunked", "pallas",
@@ -198,8 +205,12 @@ class RecformerConfig:
 
         Defaults to the fused Pallas attention kernel (measured ~20% faster
         end-to-end than the XLA sliding-chunks path on v5e); pass
-        ``attention_impl='chunked'`` to run this config on CPU."""
+        ``attention_impl='chunked'`` to run this config on CPU. Also defaults
+        to the tanh GELU approximation — XLA's exact erf more than doubles
+        the fused FFN-up GEMM time on v5e while tanh is ~free (docs/PERF.md);
+        pass ``hidden_act='gelu'`` for bitwise HF-activation parity."""
         kw.setdefault("attention_impl", "pallas")
+        kw.setdefault("hidden_act", "gelu_tanh")
         return cls(**kw)
 
     @classmethod

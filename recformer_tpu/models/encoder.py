@@ -26,6 +26,20 @@ from ..ops.attention import (chunked_attention, dense_attention,
 _MAX_GLOBALS = 1
 
 
+def activation(hidden_act: str):
+    """Activation selected by ``config.hidden_act``. 'gelu' is HF's exact
+    erf GELU; 'gelu_tanh' is the tanh approximation (the ``base()`` recipe
+    default: XLA's erf costs +124% on the fused FFN-up GEMM on v5e while
+    tanh fuses ~free — docs/PERF.md epilogue bench)."""
+    if hidden_act == "gelu":
+        return lambda x: nn.gelu(x, approximate=False)
+    if hidden_act == "gelu_tanh":
+        return lambda x: nn.gelu(x, approximate=True)
+    if hidden_act == "relu":
+        return nn.relu
+    raise ValueError(f"unknown hidden_act {hidden_act!r}")
+
+
 class _ProjWeights(nn.Module):
     """Raw (kernel, bias) with the exact param tree of an ``nn.Dense`` of the
     same name — so ``global_kv_mode`` flips freely on one checkpoint."""
@@ -162,7 +176,7 @@ class FeedForwardBlock(nn.Module):
         init = nn.initializers.normal(cfg.initializer_range)
         x = nn.Dense(cfg.intermediate_size, kernel_init=init, dtype=cfg.compute_dtype,
                      param_dtype=cfg.params_dtype, name="intermediate_dense")(hidden)
-        x = nn.gelu(x, approximate=False)
+        x = activation(cfg.hidden_act)(x)
         x = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=cfg.compute_dtype,
                      param_dtype=cfg.params_dtype, name="output_dense")(x)
         x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)

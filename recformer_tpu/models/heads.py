@@ -24,6 +24,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..config import RecformerConfig
+from .encoder import activation
 from .recformer import RecformerModel
 
 
@@ -69,7 +70,7 @@ class MLMTransform(nn.Module):
 
     def __call__(self, hidden):
         x = self.dense(hidden)
-        x = nn.gelu(x, approximate=False)
+        x = activation(self.config.hidden_act)(x)
         return self.layer_norm(x)
 
 

@@ -212,3 +212,22 @@ def test_attention_probs_dropout_active_in_training(cfg, batch):
     base = RecformerModel(cfg)
     _, eval_base = base.apply(params, **batch, deterministic=True)
     np.testing.assert_array_equal(np.asarray(eval_pooled), np.asarray(eval_base))
+
+
+def test_hidden_act_tanh_gelu_close_to_exact(cfg, batch):
+    """base() defaults to the tanh GELU approximation (docs/PERF.md: XLA's
+    exact erf costs +124% on the fused FFN-up GEMM); outputs must stay within
+    bf16-level tolerance of the exact activation on the same params."""
+    model_exact = RecformerModel(cfg)
+    params = model_exact.init(jax.random.PRNGKey(0), **batch)
+    _, pooled_exact = model_exact.apply(params, **batch)
+    model_tanh = RecformerModel(cfg.replace(hidden_act="gelu_tanh"))
+    _, pooled_tanh = model_tanh.apply(params, **batch)
+    np.testing.assert_allclose(np.asarray(pooled_exact, np.float32),
+                               np.asarray(pooled_tanh, np.float32),
+                               atol=5e-3, rtol=5e-3)
+    assert RecformerConfig.base().hidden_act == "gelu_tanh"
+    assert RecformerConfig.base(hidden_act="gelu").hidden_act == "gelu"
+    assert RecformerConfig.tiny().hidden_act == "gelu"  # parity default
+    with pytest.raises(ValueError):
+        RecformerConfig.tiny(hidden_act="swish")
