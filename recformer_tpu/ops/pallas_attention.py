@@ -103,30 +103,37 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     for i in range(nb):
         key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0  # (band,)
         loc_mask = win_mask & key_ok[None, :]
+        # Mosaic cannot concat i1 vregs ("Invalid vector register cast") —
+        # concat in int32 and compare after.
+        col_mask = jnp.concatenate(
+            [loc_mask.astype(jnp.int32),
+             jnp.broadcast_to(g_ok[None, :].astype(jnp.int32),
+                              (block_q, num_globals))],
+            axis=1) != 0  # (block_q, band + G)
         for h in range(hpb):
             lo = h * head_dim
             q = q_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim]
             q = q * jnp.asarray(scale, in_dtype)
             k_band = kpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
             v_band = vpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
-            gk = gk_ref[0, :, lo:lo + head_dim].astype(jnp.float32)  # (G, D)
-            gv = gv_ref[0, :, lo:lo + head_dim].astype(jnp.float32)
+            # append the global rows to the band OPERANDS (a (G, D) sublane
+            # concat) instead of concatenating the (bq, band|G) fp32 score
+            # matrices: one full-width bf16 MXU dot replaces band-dot +
+            # degenerate fp32 G-dot + big score concat (the +0.37 ms item in
+            # the kernel cost anatomy, docs/PERF.md).
+            kext = jnp.concatenate([k_band, gk_ref[0, :, lo:lo + head_dim]],
+                                   axis=0)  # (band + G, D)
+            vext = jnp.concatenate([v_band, gv_ref[0, :, lo:lo + head_dim]],
+                                   axis=0)
 
             scores = jax.lax.dot_general(
-                q, k_band, (((1,), (1,)), ((), ())),
+                q, kext, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (block_q, band)
-            scores = jnp.where(loc_mask, scores, NEG_INF)
+            )  # (block_q, band + G)
+            scores = jnp.where(col_mask, scores, NEG_INF)
 
-            g_scores = jax.lax.dot_general(
-                q.astype(jnp.float32), gk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (block_q, G)
-            g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
-
-            all_scores = jnp.concatenate([scores, g_scores], axis=1)
-            m = jnp.max(all_scores, axis=1, keepdims=True)
-            e = jnp.exp(all_scores - m)
+            m = jnp.max(scores, axis=1, keepdims=True)
+            e = jnp.exp(scores - m)
             denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
             if dropout_rate > 0.0:
                 keep = _dropout_keep(seed_ref[0], pl.program_id(0),
@@ -142,11 +149,7 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
             # 3.63 - Mosaic handles the concat better than split pieces), and
             # folding 1/denom into dout in the backward (2.55 vs 2.41).
             out = jax.lax.dot_general(
-                e[:, :band].astype(in_dtype), v_band, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            out += jax.lax.dot_general(
-                e[:, band:], gv, (((1,), (0,)), ((), ())),
+                e.astype(in_dtype), vext, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             out = out / denom
@@ -179,28 +182,30 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     for i in range(nb):
         key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0
         loc_mask = win_mask & key_ok[None, :]
+        col_mask = jnp.concatenate(
+            [loc_mask.astype(jnp.int32),
+             jnp.broadcast_to(g_ok[None, :].astype(jnp.int32),
+                              (block_q, num_globals))],
+            axis=1) != 0
         for h in range(hpb):
             lo = h * head_dim
             q = q_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim]
             q = q * jnp.asarray(scale, in_dtype)
             k_band = kpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
             v_band = vpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
-            gk = gk_ref[0, :, lo:lo + head_dim].astype(jnp.float32)
-            gv = gv_ref[0, :, lo:lo + head_dim].astype(jnp.float32)
+            kext = jnp.concatenate([k_band, gk_ref[0, :, lo:lo + head_dim]],
+                                   axis=0)  # (band + G, D)
+            vext = jnp.concatenate([v_band, gv_ref[0, :, lo:lo + head_dim]],
+                                   axis=0)
             dout = dout_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim]
             dout = dout.astype(in_dtype)
 
-            # recompute probabilities
-            scores = jax.lax.dot_general(q, k_band, (((1,), (1,)), ((), ())),
+            # recompute probabilities (operand-concat form, see _fwd_kernel)
+            scores = jax.lax.dot_general(q, kext, (((1,), (1,)), ((), ())),
                                          preferred_element_type=jnp.float32)
-            scores = jnp.where(loc_mask, scores, NEG_INF)
-            g_scores = jax.lax.dot_general(q.astype(jnp.float32), gk,
-                                           (((1,), (1,)), ((), ())),
-                                           preferred_element_type=jnp.float32)
-            g_scores = jnp.where(g_ok[None, :], g_scores, NEG_INF)
-            all_scores = jnp.concatenate([scores, g_scores], axis=1)
-            m = jnp.max(all_scores, axis=1, keepdims=True)
-            e = jnp.exp(all_scores - m)
+            scores = jnp.where(col_mask, scores, NEG_INF)
+            m = jnp.max(scores, axis=1, keepdims=True)
+            e = jnp.exp(scores - m)
             denom = jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
             p = e / denom  # (block_q, band + G)
 
@@ -217,46 +222,35 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
             else:
                 p_drop = p
 
-            # softmax backward
-            dp_band = jax.lax.dot_general(dout, v_band, (((1,), (1,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
-            dp_g = jax.lax.dot_general(dout.astype(jnp.float32), gv,
-                                       (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-            dp = jnp.concatenate([dp_band, dp_g], axis=1)
+            # softmax backward — single full-width dots over (band + G)
+            dp = jax.lax.dot_general(dout, vext, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
             if dropout_rate > 0.0:
                 dp = jnp.where(keep, dp * inv, 0.0)
             row_dot = jnp.sum(p * dp, axis=1, keepdims=True)
             ds = p * (dp - row_dot)  # (bq, band + G)
 
             ds_c = ds.astype(in_dtype)
-            dq = jax.lax.dot_general(ds_c[:, :band], k_band,
-                                     (((1,), (0,)), ((), ())),
+            dq = jax.lax.dot_general(ds_c, kext, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            dq += jax.lax.dot_general(ds[:, band:], gk, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
             dq_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim] = (
                 (dq * scale).astype(dq_ref.dtype))
 
-            dk_band = jax.lax.dot_general(ds_c[:, :band], q,
-                                          (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
-            dv_band = jax.lax.dot_general(p_drop[:, :band].astype(in_dtype), dout,
-                                          (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
+            # one (band+G, D) dot each, then split rows into band / global
+            dkext = jax.lax.dot_general(ds_c, q, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            dvext = jax.lax.dot_general(p_drop.astype(in_dtype), dout,
+                                        (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
             cur_k = dkpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
             dkpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim] = (
-                cur_k + dk_band.astype(dkpad_ref.dtype))
+                cur_k + dkext[:band].astype(dkpad_ref.dtype))
             cur_v = dvpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
             dvpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim] = (
-                cur_v + dv_band.astype(dvpad_ref.dtype))
+                cur_v + dvext[:band].astype(dvpad_ref.dtype))
 
-            dgk_acc[h] += jax.lax.dot_general(ds[:, band:], q.astype(jnp.float32),
-                                              (((0,), (0,)), ((), ())),
-                                              preferred_element_type=jnp.float32)
-            dgv_acc[h] += jax.lax.dot_general(p_drop[:, band:], dout.astype(jnp.float32),
-                                              (((0,), (0,)), ((), ())),
-                                              preferred_element_type=jnp.float32)
+            dgk_acc[h] += dkext[band:]
+            dgv_acc[h] += dvext[band:]
 
     dgk_ref[0] = jnp.concatenate(dgk_acc, axis=1).astype(dgk_ref.dtype)
     dgv_ref[0] = jnp.concatenate(dgv_acc, axis=1).astype(dgv_ref.dtype)
