@@ -1,0 +1,134 @@
+"""Tensor-parallel (Megatron-style param sharding) tests on the virtual mesh.
+
+The reference has no TP (SURVEY §2.2); these tests pin the TPU-native option:
+column-/row-parallel placement of attention/FFN kernels over the 'model' axis
+must (a) actually shard the parameters and (b) leave the training step's math
+unchanged — GSPMD inserts the layer all-reduces, nothing else moves.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from __graft_entry__ import _synthetic_table
+from recformer_tpu.config import RecformerConfig
+from recformer_tpu.data.device_pipeline import make_pretrain_batch
+from recformer_tpu.models.heads import RecformerForPretraining
+from recformer_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+from recformer_tpu.parallel.tensor import (
+    shard_params_tp,
+    tp_param_specs,
+    validate_tp_config,
+)
+from recformer_tpu.training.optimizer import create_optimizer
+from recformer_tpu.training.steps import TrainState, make_pretrain_step
+
+
+def _cfg(**kw):
+    defaults = dict(
+        max_token_num=32, item_seq_len=16, max_item_embeddings=4,
+        attention_window=(8, 8), hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, dtype="float32",
+        attention_impl="chunked",
+    )
+    defaults.update(kw)
+    return RecformerConfig.tiny(**defaults)
+
+
+def _setup(cfg, B=8):
+    table = _synthetic_table(cfg, 12)
+    rng = np.random.default_rng(0)
+    item_ids = jnp.asarray(rng.integers(0, 12, size=(B, 6)).astype(np.int32))
+    seq_lens = jnp.asarray(rng.integers(2, 7, size=B).astype(np.int32))
+    model = RecformerForPretraining(cfg)
+    ba, bb = make_pretrain_batch(jax.random.PRNGKey(0), table, item_ids, seq_lens, cfg)
+    params = model.init(jax.random.PRNGKey(0), ba, bb)
+    return model, params, table, item_ids, seq_lens
+
+
+def test_tp_specs_cover_attention_and_ffn():
+    cfg = _cfg()
+    model, params, *_ = _setup(cfg)
+    specs = tp_param_specs(params)
+    flat = {"/".join(str(k.key) for k in path): spec
+            for path, spec in jax.tree_util.tree_flatten_with_path(specs)[0]}
+    col = [k for k, s in flat.items()
+           if s and s[-1] == MODEL_AXIS and k.endswith("kernel")]
+    row = [k for k, s in flat.items()
+           if len(s) >= 2 and s[-2] == MODEL_AXIS and k.endswith("kernel")]
+    # per layer: q/k/v/q_g (+ thin k_g/v_g) + ffn up are column-parallel;
+    # attention out + ffn down are row-parallel
+    assert any("query" in k for k in col)
+    assert any("intermediate_dense" in k for k in col)
+    assert any("output_dense" in k for k in row)
+    # embeddings / LN stay replicated
+    for k, s in flat.items():
+        if "LayerNorm" in k or "embed" in k.lower():
+            assert s == P(), k
+
+
+@pytest.mark.parametrize("global_kv_mode", ["thin", "full"])
+def test_tp_pretrain_step_matches_replicated(global_kv_mode):
+    """dp=4 x tp=2 step == single-device step (same math, sharded params)."""
+    cfg = _cfg(global_kv_mode=global_kv_mode)
+    model, params, table, item_ids, seq_lens = _setup(cfg)
+    mesh = make_mesh(n_data=4, n_model=2)
+    validate_tp_config(cfg, mesh)
+    tx = create_optimizer(learning_rate=1e-3, warmup_steps=1, total_steps=10)
+
+    s_ref = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    single = make_pretrain_step(cfg, model)
+    s_ref, m_ref = single(s_ref, jax.random.PRNGKey(1), table, item_ids, seq_lens)
+
+    tp_params = shard_params_tp(params, mesh)
+    s_tp = TrainState.create(apply_fn=model.apply, params=tp_params, tx=tx)
+    step = make_pretrain_step(cfg, model, mesh=mesh, zero=True)
+    with mesh:
+        s_tp, m_tp = step(s_tp, jax.random.PRNGKey(1), table, item_ids, seq_lens)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_tp["loss"]),
+                               rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=2e-5)
+
+    # params must actually be sharded over the model axis after the update
+    sharded = [
+        l for l in jax.tree.leaves(s_tp.params)
+        if hasattr(l, "sharding") and MODEL_AXIS in (l.sharding.spec or ())
+    ]
+    assert len(sharded) >= 2 * cfg.num_hidden_layers
+
+    # ...and so must the AdamW moments (zeros_like preserves placement)
+    opt_sharded = [
+        l for l in jax.tree.leaves(s_tp.opt_state)
+        if hasattr(l, "sharding") and MODEL_AXIS in (getattr(l.sharding, "spec", None) or ())
+    ]
+    assert opt_sharded
+
+
+def test_tp_scan_layers_specs_right_aligned():
+    """scan_layers stacks params with a leading layer dim; specs must shard
+    the same (right-aligned) dims."""
+    cfg = _cfg(scan_layers=True)
+    model, params, *_ = _setup(cfg)
+    specs = tp_param_specs(params)
+    flat = {"/".join(str(k.key) for k in path): (spec, leaf.ndim)
+            for (path, spec), leaf in zip(
+                jax.tree_util.tree_flatten_with_path(specs)[0],
+                jax.tree.leaves(params))}
+    hit = [(k, s, nd) for k, (s, nd) in flat.items()
+           if "intermediate_dense/kernel" in k]
+    assert hit
+    for k, s, nd in hit:
+        assert nd == 3 and len(s) == 3 and s[-1] == MODEL_AXIS and s[0] is None, (k, s)
+
+
+def test_validate_tp_config_rejects_bad_shapes():
+    mesh = make_mesh(n_data=2, n_model=4)
+    with pytest.raises(ValueError):
+        validate_tp_config(_cfg(num_attention_heads=6, hidden_size=66), mesh)
+    with pytest.raises(ValueError):
+        validate_tp_config(_cfg(attention_impl="pallas"), mesh)
