@@ -116,7 +116,11 @@ class LongformerSelfAttention(nn.Module):
                        if drop_rate > 0.0 else None)
             g_out = global_rows_thin(hidden, q_g, w_kg, b_kg, w_vg, b_vg,
                                      mask, dtype, _MAX_GLOBALS,
-                                     drop_rate, rng_glb)
+                                     drop_rate, rng_glb,
+                                     # pallas scatters the global rows in its
+                                     # kernel epilogue — skip the (B,L,H,D)
+                                     # scatter entirely
+                                     compact=(cfg.attention_impl == "pallas"))
 
         if cfg.attention_impl == "dense":
             out = dense_attention(q, k, v, q_g, k_g, v_g, mask, self.window,

@@ -72,13 +72,26 @@ def global_prefix_indices(mask: jnp.ndarray, max_globals: int):
     return idx, valid
 
 
+def scatter_global_rows(out_g, mask, max_globals: int):
+    """(B, G, H, D) compact global-row outputs -> (B, L, H, D) with the
+    values scattered at the global positions, zeros elsewhere."""
+    B, L = mask.shape
+    gidx, _ = global_prefix_indices(mask, max_globals)
+    out = jnp.zeros((B, L) + out_g.shape[2:], out_g.dtype)
+    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], gidx.shape)
+    return out.at[b_idx, gidx].add(out_g)
+
+
 def _global_rows(q_g, k_g, v_g, mask, scale, dtype, max_globals: int = 1,
-                 dropout_rate: float = 0.0, dropout_rng=None):
+                 dropout_rate: float = 0.0, dropout_rng=None,
+                 compact: bool = False):
     """Full-attention output for global query rows, computed ONLY at the
     (at most ``max_globals``) global positions and scattered back: returns
     (B, L, H, D) where rows with mask==2 hold the global-attention output and
-    every other row is zero. Avoids the O(L^2) score matrix a naive
-    compute-all-rows version would materialize.
+    every other row is zero (or the compact ``(B, G, H, D)`` form when
+    ``compact=True`` — the Pallas kernel scatters in its epilogue instead).
+    Avoids the O(L^2) score matrix a naive compute-all-rows version would
+    materialize.
 
     ``q_g`` may be either the full-length global-query projection
     ``(B, L, H, D)`` or — the fast path the encoder uses — already gathered at
@@ -100,14 +113,14 @@ def _global_rows(q_g, k_g, v_g, mask, scale, dtype, max_globals: int = 1,
     probs = _prob_dropout(probs, dropout_rate, dropout_rng)
     out_g = jnp.einsum("bhgm,bmhd->bghd", probs.astype(dtype), v_g)  # (B, G, H, D)
     out_g = jnp.where(gvalid[:, :, None, None], out_g, 0.0)
-    out = jnp.zeros((B, L, H, D), dtype)
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], gidx.shape)
-    return out.at[b_idx, gidx].add(out_g)
+    if compact:
+        return out_g
+    return scatter_global_rows(out_g, mask, max_globals)
 
 
 def global_rows_thin(hidden, qg_sel, w_kg, b_kg, w_vg, b_vg, mask, dtype,
                      max_globals: int = 1, dropout_rate: float = 0.0,
-                     dropout_rng=None):
+                     dropout_rng=None, compact: bool = False):
     """Global-row attention WITHOUT materializing the full-length k_g/v_g
     projections. Same math as projecting ``k_g = hidden @ w_kg + b_kg`` (resp.
     v_g) and calling :func:`_global_rows`, reassociated so the per-layer
@@ -159,9 +172,9 @@ def global_rows_thin(hidden, qg_sel, w_kg, b_kg, w_vg, b_vg, mask, dtype,
                      * jnp.transpose(psum, (0, 2, 1))[:, :, :, None])
     out_g = out_g.astype(dtype)
     out_g = jnp.where(gvalid[:, :, None, None], out_g, 0.0)
-    out = jnp.zeros((B, L, H, D), dtype)
-    b_idx = jnp.broadcast_to(jnp.arange(B)[:, None], gidx.shape)
-    return out.at[b_idx, gidx].add(out_g)
+    if compact:
+        return out_g
+    return scatter_global_rows(out_g, mask, max_globals)
 
 
 def dense_attention(

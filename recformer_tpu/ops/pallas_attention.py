@@ -91,9 +91,9 @@ def _heads_per_block(num_heads: int, head_dim: int) -> int:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
-                seed_ref, out_ref, *, block_q: int, window: int, num_globals: int,
-                scale: float, nb: int, hpb: int, head_dim: int,
-                dropout_rate: float):
+                mrow_ref, gout_ref, seed_ref, out_ref, *, block_q: int,
+                window: int, num_globals: int, scale: float, nb: int, hpb: int,
+                head_dim: int, dropout_rate: float, fuse_epilogue: bool):
     half = window // 2
     band = block_q + window
     in_dtype = q_ref.dtype
@@ -110,6 +110,10 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
              jnp.broadcast_to(g_ok[None, :].astype(jnp.int32),
                               (block_q, num_globals))],
             axis=1) != 0  # (block_q, band + G)
+        if fuse_epilogue:
+            mrow = mrow_ref[0, pl.ds(i * block_q, block_q), 0]  # (block_q,)
+            is_glb = (mrow == 2)[:, None]
+            is_loc = (mrow == 1)[:, None]
         for h in range(hpb):
             lo = h * head_dim
             q = q_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim]
@@ -153,6 +157,15 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
                 preferred_element_type=jnp.float32,
             )
             out = out / denom
+            if fuse_epilogue:
+                # global-row overwrite + pad-row zeroing, fused here instead
+                # of two (B, L, H, D) HBM `where` passes (+ layout copies —
+                # D=64 < the 128-lane tile, so the 4-D reshape is a real
+                # copy) after the kernel. G == 1 only: the single global
+                # row's output broadcasts over the mask==2 rows.
+                gout_row = gout_ref[0, :, lo:lo + head_dim].astype(jnp.float32)
+                out = jnp.where(is_glb, gout_row,
+                                jnp.where(is_loc, out, 0.0))
             out_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim] = (
                 out.astype(out_ref.dtype))
 
@@ -162,11 +175,11 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
 # ---------------------------------------------------------------------------
 
 def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
-                seed_ref, dout_ref,
-                dq_ref, dkpad_ref, dvpad_ref, dgk_ref, dgv_ref,
+                mrow_ref, gout_ref, seed_ref, dout_ref,
+                dq_ref, dkpad_ref, dvpad_ref, dgk_ref, dgv_ref, dgout_ref,
                 *, block_q: int, window: int, num_globals: int,
                 scale: float, nb: int, hpb: int, head_dim: int,
-                dropout_rate: float):
+                dropout_rate: float, fuse_epilogue: bool):
     half = window // 2
     band = block_q + window
     in_dtype = q_ref.dtype
@@ -178,6 +191,7 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
     win_mask = _band_iota_mask(block_q, band, half)
     dgk_acc = [jnp.zeros((num_globals, head_dim), jnp.float32) for _ in range(hpb)]
     dgv_acc = [jnp.zeros((num_globals, head_dim), jnp.float32) for _ in range(hpb)]
+    dgout_acc = [jnp.zeros((num_globals, head_dim), jnp.float32) for _ in range(hpb)]
 
     for i in range(nb):
         key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0
@@ -187,6 +201,10 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
              jnp.broadcast_to(g_ok[None, :].astype(jnp.int32),
                               (block_q, num_globals))],
             axis=1) != 0
+        if fuse_epilogue:
+            mrow = mrow_ref[0, pl.ds(i * block_q, block_q), 0]  # (block_q,)
+            is_glb = (mrow == 2)[:, None]
+            is_loc = (mrow == 1)[:, None]
         for h in range(hpb):
             lo = h * head_dim
             q = q_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim]
@@ -198,6 +216,13 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
             vext = jnp.concatenate([v_band, gv_ref[0, :, lo:lo + head_dim]],
                                    axis=0)
             dout = dout_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim]
+            if fuse_epilogue:
+                # epilogue backward: global rows' upstream grad goes to
+                # d(g_out); band-path grads see dout only at local rows
+                dgout_acc[h] += jnp.sum(
+                    jnp.where(is_glb, dout.astype(jnp.float32), 0.0),
+                    axis=0, keepdims=True)
+                dout = jnp.where(is_loc, dout, 0.0)
             dout = dout.astype(in_dtype)
 
             # recompute probabilities (operand-concat form, see _fwd_kernel)
@@ -254,6 +279,7 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
 
     dgk_ref[0] = jnp.concatenate(dgk_acc, axis=1).astype(dgk_ref.dtype)
     dgv_ref[0] = jnp.concatenate(dgv_acc, axis=1).astype(dgv_ref.dtype)
+    dgout_ref[0] = jnp.concatenate(dgout_acc, axis=1).astype(dgout_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -275,14 +301,16 @@ def _grid_and_specs(B, L, HD, W, num_globals, num_heads):
         pl.BlockSpec((1, num_globals, lane), blk),  # gk
         pl.BlockSpec((1, num_globals, lane), blk),  # gv
         pl.BlockSpec((1, 1, num_globals), row),     # gvalid
+        pl.BlockSpec((1, L, 1), row),               # mrow (full {0,1,2} mask)
+        pl.BlockSpec((1, num_globals, lane), blk),  # gout (compact global out)
         pl.BlockSpec(memory_space=pltpu.SMEM),      # dropout seed (1,) int32
     ]
     return (B, HP), in_specs, blk, D, hpb, lane
 
 
-def _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed,
-                        *, block_q, window, num_globals, num_heads, interpret,
-                        dropout_rate):
+def _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2,
+                        gout2, seed, *, block_q, window, num_globals,
+                        num_heads, interpret, dropout_rate, fuse_epilogue):
     B, L, HD = q2.shape
     nb = L // block_q
     W = window
@@ -292,6 +320,7 @@ def _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed,
     kernel = functools.partial(
         _fwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
         scale=scale, nb=nb, hpb=hpb, head_dim=D, dropout_rate=dropout_rate,
+        fuse_epilogue=fuse_epilogue,
     )
     return pl.pallas_call(
         kernel,
@@ -300,12 +329,12 @@ def _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed,
         out_specs=pl.BlockSpec((1, L, lane), blk),
         out_shape=jax.ShapeDtypeStruct((B, L, HD), q2.dtype),
         interpret=interpret,
-    )(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed)
+    )(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2, seed)
 
 
-def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed, dout2,
-                        *, block_q, window, num_globals, num_heads, interpret,
-                        dropout_rate):
+def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2,
+                        gout2, seed, dout2, *, block_q, window, num_globals,
+                        num_heads, interpret, dropout_rate, fuse_epilogue):
     B, L, HD = q2.shape
     nb = L // block_q
     W = window
@@ -315,6 +344,7 @@ def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed, dout
     kernel = functools.partial(
         _bwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
         scale=scale, nb=nb, hpb=hpb, head_dim=D, dropout_rate=dropout_rate,
+        fuse_epilogue=fuse_epilogue,
     )
     out_shapes = (
         jax.ShapeDtypeStruct((B, L, HD), q2.dtype),          # dq
@@ -323,6 +353,7 @@ def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed, dout
         jax.ShapeDtypeStruct((B, L + W, HD), jnp.float32),   # dvpad
         jax.ShapeDtypeStruct((B, num_globals, HD), jnp.float32),  # dgk
         jax.ShapeDtypeStruct((B, num_globals, HD), jnp.float32),  # dgv
+        jax.ShapeDtypeStruct((B, num_globals, HD), jnp.float32),  # dgout
     )
     return pl.pallas_call(
         kernel,
@@ -334,44 +365,52 @@ def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed, dout
             pl.BlockSpec((1, L + W, lane), blk),
             pl.BlockSpec((1, num_globals, lane), blk),
             pl.BlockSpec((1, num_globals, lane), blk),
+            pl.BlockSpec((1, num_globals, lane), blk),
         ),
         out_shape=out_shapes,
         interpret=interpret,
-    )(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed, dout2)
+    )(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2, seed, dout2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
-def _band_core(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed,
-               block_q, window, num_globals, num_heads, interpret,
-               dropout_rate):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
+def _band_core(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2,
+               seed, block_q, window, num_globals, num_heads, interpret,
+               dropout_rate, fuse_epilogue):
     return _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
-                               seed, block_q=block_q, window=window,
-                               num_globals=num_globals, num_heads=num_heads,
-                               interpret=interpret, dropout_rate=dropout_rate)
+                               mrow2, gout2, seed, block_q=block_q,
+                               window=window, num_globals=num_globals,
+                               num_heads=num_heads, interpret=interpret,
+                               dropout_rate=dropout_rate,
+                               fuse_epilogue=fuse_epilogue)
 
 
-def _band_core_fwd(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed,
-                   block_q, window, num_globals, num_heads, interpret,
-                   dropout_rate):
+def _band_core_fwd(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2,
+                   seed, block_q, window, num_globals, num_heads, interpret,
+                   dropout_rate, fuse_epilogue):
     out = _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
-                              seed, block_q=block_q, window=window,
-                              num_globals=num_globals, num_heads=num_heads,
-                              interpret=interpret, dropout_rate=dropout_rate)
-    return out, (q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed)
+                              mrow2, gout2, seed, block_q=block_q,
+                              window=window, num_globals=num_globals,
+                              num_heads=num_heads, interpret=interpret,
+                              dropout_rate=dropout_rate,
+                              fuse_epilogue=fuse_epilogue)
+    return out, (q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2,
+                 seed)
 
 
 def _band_core_bwd(block_q, window, num_globals, num_heads, interpret,
-                   dropout_rate, res, dout):
-    q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed = res
-    dq, dkpad, dvpad, dgk, dgv = _band_core_bwd_call(
-        q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, seed,
+                   dropout_rate, fuse_epilogue, res, dout):
+    q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2, seed = res
+    dq, dkpad, dvpad, dgk, dgv, dgout = _band_core_bwd_call(
+        q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2, seed,
         dout.astype(q2.dtype),
         block_q=block_q, window=window, num_globals=num_globals,
         num_heads=num_heads, interpret=interpret, dropout_rate=dropout_rate,
+        fuse_epilogue=fuse_epilogue,
     )
     return (dq.astype(q2.dtype), dkpad.astype(kpad2.dtype),
             dvpad.astype(vpad2.dtype), None,
-            dgk.astype(gk2.dtype), dgv.astype(gv2.dtype), None, None)
+            dgk.astype(gk2.dtype), dgv.astype(gv2.dtype), None, None,
+            dgout.astype(gout2.dtype), None)
 
 
 _band_core.defvjp(_band_core_fwd, _band_core_bwd)
@@ -411,8 +450,10 @@ def pallas_window_attention(
     if interpret and dropout_rate > 0.0:
         import math
 
-        from .attention import chunked_attention
+        from .attention import chunked_attention, scatter_global_rows
 
+        if g_out is not None and g_out.shape[1] == max_globals != L:
+            g_out = scatter_global_rows(g_out, mask, max_globals)
         return chunked_attention(q, k, v, q_g, k_g, v_g, mask, window,
                                  block=math.gcd(L, 128),
                                  max_globals=max_globals,
@@ -447,9 +488,30 @@ def pallas_window_attention(
     gv2 = jnp.take_along_axis(v.reshape(B, L, HD), gidx[:, :, None], axis=1)
     gvalid2 = gvalid.astype(jnp.int32)[:, None, :]  # (B, 1, G)
 
-    out2 = _band_core(q2, kpad, vpad, keyloc2, gk2, gv2, gvalid2, seed,
-                      block_q, window, max_globals, H, interpret,
-                      float(dropout_rate))
+    # The global-row overwrite + pad zeroing run INSIDE the kernel when
+    # possible (G == 1, the model's only config): the alternative is two
+    # (B, L, H, D) `where` passes over HBM plus the layout copies the 4-D
+    # reshape forces (D=64 < the 128-lane tile). ``g_out`` may arrive in
+    # compact (B, G, H, D) form (no scatter materialized at all) or in the
+    # legacy scattered (B, L, H, D) form.
+    compact_gout = g_out is not None and g_out.shape[1] == max_globals != L
+    fuse = max_globals == 1 and (g_out is None or compact_gout)
+    mrow2 = mask.astype(jnp.int32)[:, :, None]  # (B, L, 1) in {0,1,2}
+    if fuse:
+        if g_out is None:
+            g_out = _global_rows(q_g, k_g, v_g, mask, scale, q.dtype,
+                                 max_globals, dropout_rate, rng_glb,
+                                 compact=True)
+        gout2 = g_out.reshape(B, max_globals, HD).astype(q.dtype)
+        out2 = _band_core(q2, kpad, vpad, keyloc2, gk2, gv2, gvalid2, mrow2,
+                          gout2, seed, block_q, window, max_globals, H,
+                          interpret, float(dropout_rate), True)
+        return out2.reshape(B, L, H, D).astype(q.dtype)
+
+    gout2 = jnp.zeros((B, max_globals, HD), q.dtype)  # unused placeholder
+    out2 = _band_core(q2, kpad, vpad, keyloc2, gk2, gv2, gvalid2, mrow2,
+                      gout2, seed, block_q, window, max_globals, H, interpret,
+                      float(dropout_rate), False)
     out = out2.reshape(B, L, H, D).astype(q.dtype)
 
     # global query rows (dedicated projections) + padding zeroing
