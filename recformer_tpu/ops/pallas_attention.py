@@ -21,20 +21,25 @@ Kernel design ("flat-lane" layout — one program per (batch, head-pair)):
   offsets are restricted).
 - Query blocks iterate inside the program (python loop, unrolled at trace
   time), amortizing the ~1.1 us fixed per-program cost.
-- K/V arrive window-padded ``(L + window, hpb*D)`` and live whole in VMEM per
-  program (~0.3 MB at Longformer-base scale, far under the 16 MB budget).
+- K/V arrive UNPADDED ``(L, hpb*D)`` and live whole in VMEM per program
+  (~0.3 MB at Longformer-base scale, far under the 16 MB budget); each query
+  block reads its band at a statically clamped offset with a per-block mask
+  shift, so the window-padding HBM copies are gone.
 - The banded scores ``(block_q, block_q + window [+G])`` are softmaxed in
   fp32 in one shot (no online softmax needed at these band widths) and
   contracted with V on the MXU; global key columns join the same softmax as
   extra columns.
 - Backward is a second fused kernel (custom VJP): it recomputes the band
-  softmax and accumulates dK/dV across query blocks by revisiting the same
-  output block (TPU grid steps execute sequentially, so read-modify-write
-  accumulation is safe). dK/dV accumulate in fp32.
+  softmax and accumulates dK/dV across overlapping query blocks in fp32 VMEM
+  scratch, writing only the final bf16 (L, lane) result to HBM.
+- Epilogue (G == 1): the global-row overwrite and pad-row zeroing are fused
+  into the kernel (the wrapper passes the {0,1,2} mask column and the compact
+  (B, G, H·D) global-row output); the backward routes the global rows'
+  upstream gradient to a dedicated ``dgout`` output.
 
-The host-side wrapper handles padding-row zeroing, the global-row overwrite,
-and the gather of global K/V — all differentiable jnp, so only the banded core
-needs the custom VJP.
+The host-side wrapper handles the gather of global K/V and the compact
+global-row attention — all differentiable jnp, so only the banded core needs
+the custom VJP.
 """
 
 from __future__ import annotations
@@ -51,12 +56,32 @@ from .attention import NEG_INF, _global_rows, global_prefix_indices
 DEFAULT_BLOCK_Q = 256  # swept best fwd+bwd at Longformer-base shapes (128: 41.4, 256: 43.0, 512: 42.3 ex/s)
 
 
-def _band_iota_mask(block_q: int, band: int, half: int):
-    """(block_q, band) in-window mask: query row t sees band column u iff
-    |t - (u - half)| <= half."""
+def _band_iota_mask(block_q: int, band: int, half: int, shift: int = None):
+    """(block_q, band) in-window mask: query row t (absolute ``i*bq + t``)
+    sees band column u (absolute key ``off + u``) iff
+    ``|t + shift - u| <= half`` where ``shift = i*bq - off``. The default
+    ``shift=half`` is the interior-block case (band starts half a window
+    before the query block); boundary blocks clamp ``off`` into [0, L-band]
+    and pass their own shift."""
+    if shift is None:
+        shift = half
     t = jax.lax.broadcasted_iota(jnp.int32, (block_q, band), 0)
     u = jax.lax.broadcasted_iota(jnp.int32, (block_q, band), 1)
-    return jnp.abs(t - (u - half)) <= half
+    return jnp.abs(t - (u - shift)) <= half
+
+
+def _band_offsets(L: int, block_q: int, window: int):
+    """Static per-query-block (offset, shift) pairs for reading the banded
+    keys directly from the UNPADDED (L, lane) K/V: ``off`` is clamped into
+    [0, L - band] so no out-of-bounds rows exist (window padding eliminated),
+    and ``shift`` feeds :func:`_band_iota_mask`."""
+    half = window // 2
+    band = min(block_q + window, L)
+    offs = []
+    for i in range(L // block_q):
+        off = min(max(i * block_q - half, 0), L - band)
+        offs.append((off, i * block_q - off))
+    return band, offs
 
 
 def _dropout_keep(seed, b, hp, i, h, nb: int, hpb: int,
@@ -90,18 +115,20 @@ def _heads_per_block(num_heads: int, head_dim: int) -> int:
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
+def _fwd_kernel(q_ref, k_ref, v_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
                 mrow_ref, gout_ref, seed_ref, out_ref, *, block_q: int,
                 window: int, num_globals: int, scale: float, nb: int, hpb: int,
-                head_dim: int, dropout_rate: float, fuse_epilogue: bool):
+                head_dim: int, dropout_rate: float, fuse_epilogue: bool,
+                L: int):
     half = window // 2
-    band = block_q + window
+    band, offs = _band_offsets(L, block_q, window)
     in_dtype = q_ref.dtype
     g_ok = gvalid_ref[0, 0, :] != 0
-    win_mask = _band_iota_mask(block_q, band, half)
 
     for i in range(nb):
-        key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0  # (band,)
+        off, shift = offs[i]
+        win_mask = _band_iota_mask(block_q, band, half, shift)
+        key_ok = keyloc_ref[0, pl.ds(off, band), 0] != 0  # (band,)
         loc_mask = win_mask & key_ok[None, :]
         # Mosaic cannot concat i1 vregs ("Invalid vector register cast") —
         # concat in int32 and compare after.
@@ -118,8 +145,8 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
             lo = h * head_dim
             q = q_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim]
             q = q * jnp.asarray(scale, in_dtype)
-            k_band = kpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
-            v_band = vpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
+            k_band = k_ref[0, pl.ds(off, band), lo:lo + head_dim]
+            v_band = v_ref[0, pl.ds(off, band), lo:lo + head_dim]
             # append the global rows to the band OPERANDS (a (G, D) sublane
             # concat) instead of concatenating the (bq, band|G) fp32 score
             # matrices: one full-width bf16 MXU dot replaces band-dot +
@@ -174,27 +201,32 @@ def _fwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
 # Backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, keyloc_ref, gk_ref, gv_ref, gvalid_ref,
                 mrow_ref, gout_ref, seed_ref, dout_ref,
-                dq_ref, dkpad_ref, dvpad_ref, dgk_ref, dgv_ref, dgout_ref,
+                dq_ref, dk_ref, dv_ref, dgk_ref, dgv_ref, dgout_ref,
+                dk_scr, dv_scr,
                 *, block_q: int, window: int, num_globals: int,
                 scale: float, nb: int, hpb: int, head_dim: int,
-                dropout_rate: float, fuse_epilogue: bool):
+                dropout_rate: float, fuse_epilogue: bool, L: int):
     half = window // 2
-    band = block_q + window
+    band, offs = _band_offsets(L, block_q, window)
     in_dtype = q_ref.dtype
 
-    dkpad_ref[...] = jnp.zeros_like(dkpad_ref)
-    dvpad_ref[...] = jnp.zeros_like(dvpad_ref)
+    # dK/dV accumulate across overlapping bands in fp32 VMEM *scratch*; only
+    # the final bf16 result is written to HBM (the padded-fp32-output scheme
+    # cost a 2x-sized write plus a slice+cast pass outside the kernel)
+    dk_scr[...] = jnp.zeros_like(dk_scr)
+    dv_scr[...] = jnp.zeros_like(dv_scr)
 
     g_ok = gvalid_ref[0, 0, :] != 0
-    win_mask = _band_iota_mask(block_q, band, half)
     dgk_acc = [jnp.zeros((num_globals, head_dim), jnp.float32) for _ in range(hpb)]
     dgv_acc = [jnp.zeros((num_globals, head_dim), jnp.float32) for _ in range(hpb)]
     dgout_acc = [jnp.zeros((num_globals, head_dim), jnp.float32) for _ in range(hpb)]
 
     for i in range(nb):
-        key_ok = keyloc_ref[0, pl.ds(i * block_q, band), 0] != 0
+        off, shift = offs[i]
+        win_mask = _band_iota_mask(block_q, band, half, shift)
+        key_ok = keyloc_ref[0, pl.ds(off, band), 0] != 0
         loc_mask = win_mask & key_ok[None, :]
         col_mask = jnp.concatenate(
             [loc_mask.astype(jnp.int32),
@@ -209,8 +241,8 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
             lo = h * head_dim
             q = q_ref[0, pl.ds(i * block_q, block_q), lo:lo + head_dim]
             q = q * jnp.asarray(scale, in_dtype)
-            k_band = kpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
-            v_band = vpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
+            k_band = k_ref[0, pl.ds(off, band), lo:lo + head_dim]
+            v_band = v_ref[0, pl.ds(off, band), lo:lo + head_dim]
             kext = jnp.concatenate([k_band, gk_ref[0, :, lo:lo + head_dim]],
                                    axis=0)  # (band + G, D)
             vext = jnp.concatenate([v_band, gv_ref[0, :, lo:lo + head_dim]],
@@ -267,16 +299,16 @@ def _bwd_kernel(q_ref, kpad_ref, vpad_ref, keyloc_ref, gk_ref, gv_ref, gvalid_re
             dvext = jax.lax.dot_general(p_drop.astype(in_dtype), dout,
                                         (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-            cur_k = dkpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
-            dkpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim] = (
-                cur_k + dkext[:band].astype(dkpad_ref.dtype))
-            cur_v = dvpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim]
-            dvpad_ref[0, pl.ds(i * block_q, band), lo:lo + head_dim] = (
-                cur_v + dvext[:band].astype(dvpad_ref.dtype))
+            cur_k = dk_scr[pl.ds(off, band), lo:lo + head_dim]
+            dk_scr[pl.ds(off, band), lo:lo + head_dim] = cur_k + dkext[:band]
+            cur_v = dv_scr[pl.ds(off, band), lo:lo + head_dim]
+            dv_scr[pl.ds(off, band), lo:lo + head_dim] = cur_v + dvext[:band]
 
             dgk_acc[h] += dkext[band:]
             dgv_acc[h] += dvext[band:]
 
+    dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+    dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
     dgk_ref[0] = jnp.concatenate(dgk_acc, axis=1).astype(dgk_ref.dtype)
     dgv_ref[0] = jnp.concatenate(dgv_acc, axis=1).astype(dgv_ref.dtype)
     dgout_ref[0] = jnp.concatenate(dgout_acc, axis=1).astype(dgout_ref.dtype)
@@ -295,9 +327,9 @@ def _grid_and_specs(B, L, HD, W, num_globals, num_heads):
     row = lambda b, hp: (b, 0, 0)
     in_specs = [
         pl.BlockSpec((1, L, lane), blk),            # q
-        pl.BlockSpec((1, L + W, lane), blk),        # kpad
-        pl.BlockSpec((1, L + W, lane), blk),        # vpad
-        pl.BlockSpec((1, L + W, 1), row),           # keyloc (shared per batch)
+        pl.BlockSpec((1, L, lane), blk),            # k (unpadded)
+        pl.BlockSpec((1, L, lane), blk),            # v (unpadded)
+        pl.BlockSpec((1, L, 1), row),               # keyloc (shared per batch)
         pl.BlockSpec((1, num_globals, lane), blk),  # gk
         pl.BlockSpec((1, num_globals, lane), blk),  # gv
         pl.BlockSpec((1, 1, num_globals), row),     # gvalid
@@ -308,7 +340,7 @@ def _grid_and_specs(B, L, HD, W, num_globals, num_heads):
     return (B, HP), in_specs, blk, D, hpb, lane
 
 
-def _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2,
+def _band_core_fwd_call(q2, k2, v2, keyloc2, gk2, gv2, gvalid2, mrow2,
                         gout2, seed, *, block_q, window, num_globals,
                         num_heads, interpret, dropout_rate, fuse_epilogue):
     B, L, HD = q2.shape
@@ -320,7 +352,7 @@ def _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2,
     kernel = functools.partial(
         _fwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
         scale=scale, nb=nb, hpb=hpb, head_dim=D, dropout_rate=dropout_rate,
-        fuse_epilogue=fuse_epilogue,
+        fuse_epilogue=fuse_epilogue, L=L,
     )
     return pl.pallas_call(
         kernel,
@@ -329,10 +361,10 @@ def _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2,
         out_specs=pl.BlockSpec((1, L, lane), blk),
         out_shape=jax.ShapeDtypeStruct((B, L, HD), q2.dtype),
         interpret=interpret,
-    )(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2, seed)
+    )(q2, k2, v2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2, seed)
 
 
-def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2,
+def _band_core_bwd_call(q2, k2, v2, keyloc2, gk2, gv2, gvalid2, mrow2,
                         gout2, seed, dout2, *, block_q, window, num_globals,
                         num_heads, interpret, dropout_rate, fuse_epilogue):
     B, L, HD = q2.shape
@@ -344,13 +376,12 @@ def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2,
     kernel = functools.partial(
         _bwd_kernel, block_q=block_q, window=window, num_globals=num_globals,
         scale=scale, nb=nb, hpb=hpb, head_dim=D, dropout_rate=dropout_rate,
-        fuse_epilogue=fuse_epilogue,
+        fuse_epilogue=fuse_epilogue, L=L,
     )
     out_shapes = (
         jax.ShapeDtypeStruct((B, L, HD), q2.dtype),          # dq
-        # dK/dV accumulate across overlapping bands: keep fp32 accumulators
-        jax.ShapeDtypeStruct((B, L + W, HD), jnp.float32),   # dkpad
-        jax.ShapeDtypeStruct((B, L + W, HD), jnp.float32),   # dvpad
+        jax.ShapeDtypeStruct((B, L, HD), q2.dtype),          # dk
+        jax.ShapeDtypeStruct((B, L, HD), q2.dtype),          # dv
         jax.ShapeDtypeStruct((B, num_globals, HD), jnp.float32),  # dgk
         jax.ShapeDtypeStruct((B, num_globals, HD), jnp.float32),  # dgv
         jax.ShapeDtypeStruct((B, num_globals, HD), jnp.float32),  # dgout
@@ -361,22 +392,25 @@ def _band_core_bwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2,
         in_specs=in_specs + [pl.BlockSpec((1, L, lane), blk)],  # dout
         out_specs=(
             pl.BlockSpec((1, L, lane), blk),
-            pl.BlockSpec((1, L + W, lane), blk),
-            pl.BlockSpec((1, L + W, lane), blk),
+            pl.BlockSpec((1, L, lane), blk),
+            pl.BlockSpec((1, L, lane), blk),
             pl.BlockSpec((1, num_globals, lane), blk),
             pl.BlockSpec((1, num_globals, lane), blk),
             pl.BlockSpec((1, num_globals, lane), blk),
         ),
         out_shape=out_shapes,
+        # fp32 accumulators for the overlapping-band dK/dV live in scratch
+        scratch_shapes=[pltpu.VMEM((L, lane), jnp.float32),
+                        pltpu.VMEM((L, lane), jnp.float32)],
         interpret=interpret,
-    )(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2, seed, dout2)
+    )(q2, k2, v2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2, seed, dout2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15, 16))
-def _band_core(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2,
+def _band_core(q2, k2, v2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2,
                seed, block_q, window, num_globals, num_heads, interpret,
                dropout_rate, fuse_epilogue):
-    return _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
+    return _band_core_fwd_call(q2, k2, v2, keyloc2, gk2, gv2, gvalid2,
                                mrow2, gout2, seed, block_q=block_q,
                                window=window, num_globals=num_globals,
                                num_heads=num_heads, interpret=interpret,
@@ -384,31 +418,31 @@ def _band_core(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2,
                                fuse_epilogue=fuse_epilogue)
 
 
-def _band_core_fwd(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2,
+def _band_core_fwd(q2, k2, v2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2,
                    seed, block_q, window, num_globals, num_heads, interpret,
                    dropout_rate, fuse_epilogue):
-    out = _band_core_fwd_call(q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2,
+    out = _band_core_fwd_call(q2, k2, v2, keyloc2, gk2, gv2, gvalid2,
                               mrow2, gout2, seed, block_q=block_q,
                               window=window, num_globals=num_globals,
                               num_heads=num_heads, interpret=interpret,
                               dropout_rate=dropout_rate,
                               fuse_epilogue=fuse_epilogue)
-    return out, (q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2,
+    return out, (q2, k2, v2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2,
                  seed)
 
 
 def _band_core_bwd(block_q, window, num_globals, num_heads, interpret,
                    dropout_rate, fuse_epilogue, res, dout):
-    q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2, seed = res
+    q2, k2, v2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2, seed = res
     dq, dkpad, dvpad, dgk, dgv, dgout = _band_core_bwd_call(
-        q2, kpad2, vpad2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2, seed,
+        q2, k2, v2, keyloc2, gk2, gv2, gvalid2, mrow2, gout2, seed,
         dout.astype(q2.dtype),
         block_q=block_q, window=window, num_globals=num_globals,
         num_heads=num_heads, interpret=interpret, dropout_rate=dropout_rate,
         fuse_epilogue=fuse_epilogue,
     )
-    return (dq.astype(q2.dtype), dkpad.astype(kpad2.dtype),
-            dvpad.astype(vpad2.dtype), None,
+    return (dq.astype(q2.dtype), dkpad.astype(k2.dtype),
+            dvpad.astype(v2.dtype), None,
             dgk.astype(gk2.dtype), dgv.astype(gv2.dtype), None, None,
             dgout.astype(gout2.dtype), None)
 
@@ -469,19 +503,17 @@ def pallas_window_attention(
     block_q = min(block_q, L)
     if L % block_q:
         raise ValueError(f"L={L} must be a multiple of block_q={block_q}")
-    half = window // 2
-    W = window
     scale = 1.0 / jnp.sqrt(jnp.array(D, jnp.float32)).astype(q.dtype)
     is_pad = mask == 0
     is_global = mask == 2
 
-    # (B, L, H, D) -> (B, L, H*D): minor-dim merge, a free reshape (no copy)
+    # (B, L, H, D) -> (B, L, H*D): minor-dim merge, a free reshape (no copy).
+    # K/V stay UNPADDED — the kernel reads each band at a statically clamped
+    # offset (window padding cost two full HBM copy passes per call).
     q2 = q.reshape(B, L, HD)
-    kpad = jnp.pad(k.reshape(B, L, HD), ((0, 0), (half, half), (0, 0)))
-    vpad = jnp.pad(v.reshape(B, L, HD), ((0, 0), (half, half), (0, 0)))
-
-    key_local = (mask == 1).astype(jnp.int32)  # (B, L)
-    keyloc2 = jnp.pad(key_local, ((0, 0), (half, half)))[:, :, None]  # (B, L+W, 1)
+    k2 = k.reshape(B, L, HD)
+    v2 = v.reshape(B, L, HD)
+    keyloc2 = (mask == 1).astype(jnp.int32)[:, :, None]  # (B, L, 1)
 
     gidx, gvalid = global_prefix_indices(mask, max_globals)  # (B, G)
     gk2 = jnp.take_along_axis(k.reshape(B, L, HD), gidx[:, :, None], axis=1)
@@ -503,13 +535,13 @@ def pallas_window_attention(
                                  max_globals, dropout_rate, rng_glb,
                                  compact=True)
         gout2 = g_out.reshape(B, max_globals, HD).astype(q.dtype)
-        out2 = _band_core(q2, kpad, vpad, keyloc2, gk2, gv2, gvalid2, mrow2,
+        out2 = _band_core(q2, k2, v2, keyloc2, gk2, gv2, gvalid2, mrow2,
                           gout2, seed, block_q, window, max_globals, H,
                           interpret, float(dropout_rate), True)
         return out2.reshape(B, L, H, D).astype(q.dtype)
 
     gout2 = jnp.zeros((B, max_globals, HD), q.dtype)  # unused placeholder
-    out2 = _band_core(q2, kpad, vpad, keyloc2, gk2, gv2, gvalid2, mrow2,
+    out2 = _band_core(q2, k2, v2, keyloc2, gk2, gv2, gvalid2, mrow2,
                       gout2, seed, block_q, window, max_globals, H, interpret,
                       float(dropout_rate), False)
     out = out2.reshape(B, L, H, D).astype(q.dtype)
