@@ -157,6 +157,7 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--scan_layers", action="store_true")
     ap.add_argument("--no-dropout", action="store_true", dest="no_dropout")
+    ap.add_argument("--ln", choices=["xla", "pallas_bwd"], default="xla")
     args = ap.parse_args()
 
     from __graft_entry__ import _synthetic_table
@@ -164,7 +165,7 @@ def main():
 
     if args.model == "base":
         cfg = RecformerConfig.base(attention_impl=args.attention, remat=args.remat,
-                                   scan_layers=args.scan_layers)
+                                   scan_layers=args.scan_layers, ln_impl=args.ln)
         n_items, s_in = 10000, 32
     else:
         cfg = RecformerConfig.tiny(attention_impl=args.attention, remat=args.remat,
@@ -192,7 +193,8 @@ def main():
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_reference.json")
     key = f"{args.task}-{args.model}-{args.attention}-b{args.batch_size}" + (
         "-scan" if args.scan_layers else "") + ("-remat" if args.remat else "") + (
-        "-nodrop" if args.no_dropout else "")
+        "-nodrop" if args.no_dropout else "") + (
+        "-plnbwd" if getattr(args, "ln", "xla") == "pallas_bwd" else "")
     record = {}
     if os.path.exists(ref_path):
         try:

@@ -70,6 +70,11 @@ class RecformerConfig:
     # 'xla' = let XLA fuse the 4-embedding sum + LayerNorm,
     # 'pallas' = fused Pallas sum+LN kernel (one VMEM pass, custom VJP).
     embed_ln_impl: str = "xla"
+    # "xla": nn.LayerNorm everywhere; "pallas_bwd": jnp forward (still
+    # XLA-fused into the producing GEMM) + fused Pallas backward kernel for
+    # the encoder-block LayerNorms (profile: the XLA LN-backward epilogue
+    # quadruples the attached GEMM's time — docs/PERF.md)
+    ln_impl: str = "xla"
     # How the key_global/value_global projections are applied. The global
     # query rows (<= 1 per sequence) are the ONLY consumers of those two
     # full-length (L, hs, hs) GEMMs per layer. 'thin' reassociates
@@ -168,6 +173,8 @@ class RecformerConfig:
             raise ValueError(f"unknown attention_impl {self.attention_impl!r}")
         if self.embed_ln_impl not in ("xla", "pallas"):
             raise ValueError(f"unknown embed_ln_impl {self.embed_ln_impl!r}")
+        if self.ln_impl not in ("xla", "pallas_bwd"):
+            raise ValueError(f"unknown ln_impl {self.ln_impl!r}")
         if self.global_kv_mode not in ("thin", "full"):
             raise ValueError(f"unknown global_kv_mode {self.global_kv_mode!r}")
         if self.scan_layers and len(set(self.attention_window)) != 1:

@@ -152,6 +152,24 @@ class LongformerSelfAttention(nn.Module):
         return out.reshape(B, L, cfg.hidden_size)
 
 
+def _block_layernorm(cfg, x):
+    """Residual-sum LayerNorm for encoder blocks: nn.LayerNorm, or the
+    jnp-forward / Pallas-backward variant (ln_impl='pallas_bwd' — same param
+    tree, same math; see ops/pallas_layernorm.py)."""
+    if cfg.ln_impl == "pallas_bwd":
+        from ..models.embeddings import _LayerNormParams
+        from ..ops.pallas_layernorm import pallas_layernorm
+
+        scale, bias = _LayerNormParams(cfg.hidden_size, cfg.params_dtype,
+                                       name="output_LayerNorm")()
+        interpret = jax.default_backend() != "tpu"
+        return pallas_layernorm(x.astype(cfg.compute_dtype),
+                                scale, bias, cfg.layer_norm_eps, interpret)
+    return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.compute_dtype,
+                        param_dtype=cfg.params_dtype,
+                        name="output_LayerNorm")(x)
+
+
 class AttentionBlock(nn.Module):
     config: RecformerConfig
     window: int
@@ -166,8 +184,7 @@ class AttentionBlock(nn.Module):
                          dtype=cfg.compute_dtype, param_dtype=cfg.params_dtype, name="output_dense")
         out = dense(attn)
         out = nn.Dropout(cfg.hidden_dropout_prob)(out, deterministic=deterministic)
-        out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.compute_dtype,
-                           param_dtype=cfg.params_dtype, name="output_LayerNorm")(out + hidden)
+        out = _block_layernorm(cfg, out + hidden)
         return out
 
 
@@ -184,8 +201,7 @@ class FeedForwardBlock(nn.Module):
         x = nn.Dense(cfg.hidden_size, kernel_init=init, dtype=cfg.compute_dtype,
                      param_dtype=cfg.params_dtype, name="output_dense")(x)
         x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.compute_dtype,
-                         param_dtype=cfg.params_dtype, name="output_LayerNorm")(x + hidden)
+        x = _block_layernorm(cfg, x + hidden)
         return x
 
 
