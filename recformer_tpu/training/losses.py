@@ -74,9 +74,14 @@ def mlm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     semantics)."""
     valid = labels != IGNORE_INDEX
     safe_labels = jnp.where(valid, labels, 0)
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
-    nll = jnp.where(valid, nll, 0.0)
+    logits = logits.astype(jnp.float32)
+    # logsumexp-gather form: log_softmax would materialize a second
+    # (B, P, vocab) fp32 tensor just to gather one column per row (the
+    # ~1.35 ms/tower fusions in the step profile); gather(log_softmax) ==
+    # gather(logits) - logsumexp(logits) exactly.
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, lse - picked, 0.0)
     return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
 
 
