@@ -88,8 +88,10 @@ def mlm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 def seqrec_full_softmax_loss(pooled, item_embeddings, labels, temp: float) -> jnp.ndarray:
     """CE over the full catalog (``models.py:589-591``)."""
     logits = similarity_scores(pooled.astype(jnp.float32), item_embeddings.astype(jnp.float32), temp)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))
+    # logsumexp-gather form (see mlm_loss): no second (B, catalog) logp tensor
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    picked = jnp.take_along_axis(logits, labels[:, None], axis=1)[:, 0]
+    return jnp.mean(lse - picked)
 
 
 def seqrec_sampled_softmax_loss(
