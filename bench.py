@@ -169,7 +169,7 @@ def main():
         n_items, s_in = 10000, 32
     else:
         cfg = RecformerConfig.tiny(attention_impl=args.attention, remat=args.remat,
-                                   scan_layers=args.scan_layers)
+                                   scan_layers=args.scan_layers, ln_impl=args.ln)
         n_items, s_in = 200, 12
 
     if args.no_dropout:

@@ -59,6 +59,9 @@ def parse_args(argv=None):
     p.add_argument("--fraud_labels", type=str, default=None,
                    help="optional JSON: user -> 0/1 fraud flag overlay")
     p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--hidden_act", choices=["gelu", "gelu_tanh", "relu"], default=None,
+                   help="override activation: 'gelu' (exact erf) restores HF parity "
+                        "for imported checkpoints; base() defaults to gelu_tanh")
     p.add_argument("--projection", choices=["pca", "tsne"], default="pca",
                    help="2-D projection for the scatter export "
                         "(reference cluster.py:144-181 offers t-SNE/PCA/UMAP)")

@@ -56,6 +56,9 @@ def parse_args(argv=None):
     p.add_argument("--warmup_steps", type=int, default=100)
     p.add_argument("--verbose", type=int, default=3)
     p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--hidden_act", choices=["gelu", "gelu_tanh", "relu"], default=None,
+                   help="override activation: 'gelu' (exact erf) restores HF parity "
+                        "for imported checkpoints; base() defaults to gelu_tanh")
     p.add_argument("--scan_layers", action="store_true", default=None,
                    help="stacked lax.scan encoder layers (faster compiles)")
     p.add_argument("--remat", action="store_true", default=None)

@@ -52,6 +52,9 @@ def parse_args(argv=None):
                    help="precomputed .npy catalog (skips encoding)")
     p.add_argument("--output", type=str, default="-")
     p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--hidden_act", choices=["gelu", "gelu_tanh", "relu"], default=None,
+                   help="override activation: 'gelu' (exact erf) restores HF parity "
+                        "for imported checkpoints; base() defaults to gelu_tanh")
     return p.parse_args(argv)
 
 

@@ -504,6 +504,15 @@ def pallas_window_attention(
     if L % block_q:
         raise ValueError(f"L={L} must be a multiple of block_q={block_q}")
     scale = 1.0 / jnp.sqrt(jnp.array(D, jnp.float32)).astype(q.dtype)
+    # Contract: at most ``max_globals`` global rows per sequence (the data
+    # pipeline emits exactly one, the <s> row). Out-of-contract extra
+    # mask==2 rows are demoted to local here, so the fused epilogue (which
+    # broadcasts the compact global output to every mask==2 row) and the
+    # legacy scattered path see the same, well-defined mask.
+    gidx0, gvalid0 = global_prefix_indices(mask, max_globals)
+    b_idx0 = jnp.broadcast_to(jnp.arange(B)[:, None], gidx0.shape)
+    kept_global = jnp.zeros(mask.shape, bool).at[b_idx0, gidx0].max(gvalid0)
+    mask = jnp.where((mask == 2) & ~kept_global, 1, mask)
     is_pad = mask == 0
     is_global = mask == 2
 

@@ -72,7 +72,9 @@ def _ln_bwd_call(x2, scale, dout2, eps, interpret):
     M, H = x2.shape
     bm = min(DEFAULT_BLOCK_ROWS, M)
     if M % bm:
-        bm = M  # fall back to one program (tiny inputs)
+        # largest divisor of M <= DEFAULT_BLOCK_ROWS, so an odd M never
+        # collapses to a single whole-input program (VMEM budget)
+        bm = next(b for b in range(bm, 0, -1) if M % b == 0)
     grid = (M // bm,)
     kernel = functools.partial(_ln_bwd_kernel, eps=eps)
     acc = lambda i: (0, 0, 0)

@@ -212,3 +212,19 @@ def test_dropout_requires_rng():
     with pytest.raises(ValueError, match="dropout_rng"):
         pallas_window_attention(q, k, v, qg, kg, vg, mask, 8, block_q=16,
                                 interpret=True, dropout_rate=0.1)
+
+
+def test_extra_global_rows_demoted_to_local():
+    """Out-of-contract masks with >max_globals global rows are normalized at
+    the wrapper (extras demoted to local), so the fused epilogue and the
+    legacy scattered path agree instead of silently diverging."""
+    q, k, v, qg, kg, vg, mask = make_inputs(jax.random.PRNGKey(13))
+    bad = np.asarray(mask).copy()
+    bad[:, 5] = 2  # second global row, out of contract
+    bad = jnp.asarray(bad)
+    norm = np.asarray(mask).copy()  # only the first global kept
+    out = pallas_window_attention(q, k, v, qg, kg, vg, bad, 8, block_q=16,
+                                  max_globals=1, interpret=INTERPRET)
+    ref = dense_attention(q, k, v, qg, kg, vg, jnp.asarray(norm), 8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-5)

@@ -88,3 +88,28 @@ def test_model_ln_impl_parity():
 def test_ln_impl_validation():
     with pytest.raises(ValueError):
         RecformerConfig.tiny(ln_impl="nope")
+
+
+def test_bwd_odd_row_count_keeps_block_bounded():
+    """An M not divisible by DEFAULT_BLOCK_ROWS must pick the largest divisor
+    <= the default block, not collapse to one whole-input program."""
+    from recformer_tpu.ops import pallas_layernorm as mod
+
+    rng = np.random.default_rng(1)
+    # M = 3 * 200 = 600: largest divisor <= 512 is 300
+    x = jnp.asarray(rng.standard_normal((3, 200, 64)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    eps = 1e-5
+
+    def loss_p(x, s, b):
+        return jnp.sum(jnp.sin(pallas_layernorm(x, s, b, eps, True)))
+
+    def loss_r(x, s, b):
+        return jnp.sum(jnp.sin(_ref_ln(x, s, b, eps)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(x, scale, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-5)
