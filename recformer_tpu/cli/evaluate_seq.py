@@ -63,8 +63,11 @@ def main(argv=None):
     params = init_model_params(model, config)
     params = maybe_load_pretrained(params, args.ckpt)
 
-    item_embeddings = encode_all_items(params, model, table, config,
-                                       args.encode_batch_size)
+    # disk-cached catalog encode (reference finetune.py:277-285), keyed by a
+    # params fingerprint so a different checkpoint re-encodes
+    item_embeddings = encode_all_items(
+        params, model, table, config, args.encode_batch_size,
+        cache_path=os.path.join(args.data_path, "preprocess", f"item_emb_{name}.npz"))
     max_items = max(max((len(s) for s in train.values()), default=1), 1) + 1
     ds = EvalDataset(train, val, test, args.split, max_items=max_items)
     metrics = evaluate_seqrec(params, model, table, ds, item_embeddings, config,

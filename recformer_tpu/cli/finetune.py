@@ -116,6 +116,7 @@ def main(argv=None):
         eval_batch_size=args.eval_batch_size, encode_batch_size=args.encode_batch_size,
         verbose=args.verbose, rng=jax.random.PRNGKey(args.seed),
         steps_per_call=args.steps_per_call,
+        encode_cache=os.path.join(cache_dir, f"item_emb_init_{name}.npz"),
     )
     print(f"Test set: {test_metrics}")
 

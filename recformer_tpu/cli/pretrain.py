@@ -83,6 +83,10 @@ def parse_args(argv=None):
                    help="ZeRO-1-style optimizer-state sharding over the data axis")
     p.add_argument("--fix_word_embedding", action="store_true")
     p.add_argument("--valid_step_interval", type=int, default=2000)
+    p.add_argument("--valid_batches", type=int, default=0,
+                   help="cap dev validation at this many batches; 0 = the "
+                        "full dev set (reference validates the full set, "
+                        "lightning_pretrain.py:127-132)")
     p.add_argument("--resume", action="store_true",
                    help="resume params+optimizer+step from output_dir/state")
     p.add_argument("--profile_dir", type=str, default=None,
@@ -186,6 +190,7 @@ def main(argv=None):
     logger = MetricsLogger(args.log_dir or os.path.join(args.output_dir, "logs"))
     meters = AverageMeterSet()
     global_step = 0
+    last_log_step = 0
     t0 = time.time()
     ctx = mesh if mesh is not None else _nullcontext()
     with ctx:
@@ -197,18 +202,23 @@ def main(argv=None):
                                           process_count=jax.process_count()):
                 if args.profile_dir and global_step == 10:
                     jax.profiler.start_trace(args.profile_dir)
+                prev_step = global_step
                 if multi_step is not None:
                     pending_ids.append(batch.item_ids)
                     pending_lens.append(batch.seq_lens)
                     if len(pending_ids) < args.steps_per_call:
                         continue
-                    state, losses = multi_step(
+                    state, trace = multi_step(
                         state, rng, table,
                         jnp.asarray(np.stack(pending_ids)),
                         jnp.asarray(np.stack(pending_lens)),
                     )
                     pending_ids, pending_lens = [], []
-                    metrics = {"loss": losses[-1], "accuracy": jnp.zeros(())}
+                    # the scan carries the FULL per-step metric dict out; log
+                    # the mean over this call's steps (real values, not a
+                    # fabricated accuracy)
+                    metrics = {k: jnp.mean(v.astype(jnp.float32))
+                               for k, v in trace.items()}
                     global_step += args.steps_per_call
                 else:
                     state, metrics = step(state, rng, table,
@@ -218,23 +228,30 @@ def main(argv=None):
                 if args.profile_dir and global_step >= 15 and global_step < 15 + args.steps_per_call:
                     jax.block_until_ready(metrics)
                     jax.profiler.stop_trace()
-                if global_step % 50 == 0:
+                # fire on "crossed the interval": with steps_per_call > 1 the
+                # step counter advances in strides, so `% == 0` can skip every
+                # boundary (e.g. steps_per_call=3, interval=4)
+                if _crossed(50, prev_step, global_step):
                     m = {k: float(v) for k, v in metrics.items()}
-                    rate = global_batch * 50 / (time.time() - t0)
+                    n_done = global_step - last_log_step
+                    rate = global_batch * n_done / (time.time() - t0)
                     t0 = time.time()
+                    last_log_step = global_step
                     m["examples_per_sec"] = rate
                     logger.log(global_step, m)
                     print(f"[pretrain] step {global_step} loss {m['loss']:.4f} "
                           f"acc {m['accuracy']:.4f} ({rate:.1f} ex/s)")
-                if global_step % args.valid_step_interval == 0:
-                    acc = _validate(eval_step, state, rng, table, dev_ds, global_batch)
+                if _crossed(args.valid_step_interval, prev_step, global_step):
+                    acc = _validate(eval_step, state, rng, table, dev_ds,
+                                    global_batch, args.valid_batches)
                     logger.log(global_step, {"dev_accuracy": acc})
                     print(f"[pretrain] dev accuracy {acc:.4f}")
                     topk.save(state.params, global_step, acc)
                     if acc > best_acc:
                         best_acc = acc
                         save_params(os.path.join(args.output_dir, "best"), state.params)
-            acc = _validate(eval_step, state, rng, table, dev_ds, global_batch)
+            acc = _validate(eval_step, state, rng, table, dev_ds, global_batch,
+                            args.valid_batches)
             print(f"[pretrain] epoch {epoch} dev accuracy {acc:.4f}")
             topk.save(state.params, global_step, acc)
             if acc > best_acc:
@@ -246,10 +263,19 @@ def main(argv=None):
     print(f"[pretrain] done; best dev accuracy {best_acc:.4f}")
 
 
-def _validate(eval_step, state, rng, table, dev_ds, batch_size, max_batches=50):
+def _crossed(interval: int, prev_step: int, step: int) -> bool:
+    """True when [prev_step, step] crossed a multiple of ``interval``."""
+    return interval > 0 and step // interval > prev_step // interval
+
+
+def _validate(eval_step, state, rng, table, dev_ds, batch_size, max_batches=0):
+    """Contrastive dev accuracy. ``max_batches=0`` evaluates the full dev set
+    (the reference's behavior); a positive cap subsamples and says so."""
     correct = total = None
     for i, batch in enumerate(dev_ds.batches(batch_size, drop_last=True)):
-        if i >= max_batches:
+        if max_batches and i >= max_batches:
+            print(f"[pretrain] dev subsampled to {max_batches} batches "
+                  f"(--valid_batches)")
             break
         out = eval_step(state.params, jax.random.fold_in(rng, i), table,
                         jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens))

@@ -78,7 +78,9 @@ def main(argv=None):
     if args.item_embeddings:
         item_emb = jnp.asarray(np.load(args.item_embeddings))
     else:
-        item_emb = encode_all_items(params, model, table, config, args.encode_batch_size)
+        item_emb = encode_all_items(
+            params, model, table, config, args.encode_batch_size,
+            cache_path=os.path.join(args.data_path, "preprocess", f"item_emb_{name}.npz"))
 
     raw = read_json(args.sequences)
     if isinstance(raw, dict):

@@ -24,13 +24,45 @@ from .steps import (
 )
 
 
+def _params_fingerprint(params) -> str:
+    """Cheap content fingerprint: fp64 sums of the 8 largest leaves, computed
+    on device in one launch (8-float host transfer, not a full param pull)."""
+    leaves = sorted(jax.tree.leaves(params), key=lambda l: -l.size)[:8]
+    sums = jax.jit(lambda ls: [jnp.sum(l.astype(jnp.float64)) for l in ls])(leaves)
+    return ",".join(f"{float(s):.6e}" for s in sums)
+
+
 def encode_all_items(params, model, table, config: RecformerConfig,
-                     batch_size: int = 256, backbone_method=None) -> jnp.ndarray:
+                     batch_size: int = 256, backbone_method=None,
+                     cache_path: Optional[str] = None) -> jnp.ndarray:
     """Batch-encode every catalog item as a single-item sequence and return
     the pooled ``(N, H)`` matrix (reference ``finetune.py:38-63``).
 
     Items are processed in fixed-size chunks (static shapes); the tail chunk
-    is padded with the null item and trimmed."""
+    is padded with the null item and trimmed.
+
+    ``cache_path``: optional ``.npz`` disk cache (the reference caches the
+    encoded catalog between runs, ``finetune.py:277-285``); unlike the
+    reference's trust-the-path pickle, the cache stores a params fingerprint
+    and re-encodes when the model changed."""
+    import os
+
+    if cache_path:
+        fp = _params_fingerprint(params)
+        if os.path.exists(cache_path):
+            data = np.load(cache_path, allow_pickle=False)
+            if str(data["fingerprint"]) == fp and int(data["n_items"]) == int(
+                    table["lengths"].shape[0]) - 1:
+                print(f"[encode] item-embedding cache hit: {cache_path}")
+                return jnp.asarray(data["embeddings"]).astype(str(data["dtype"]))
+        emb = encode_all_items(params, model, table, config, batch_size,
+                               backbone_method)
+        os.makedirs(os.path.dirname(os.path.abspath(cache_path)), exist_ok=True)
+        # stored as fp32: npz has no bfloat16, and fp32 is exact for bf16 values
+        np.savez(cache_path, embeddings=np.asarray(emb.astype(jnp.float32)),
+                 dtype=str(emb.dtype), fingerprint=fp,
+                 n_items=np.asarray(emb).shape[0])
+        return emb
     step = make_encode_items_step(config, model, backbone_method)
     n = int(table["lengths"].shape[0]) - 1
     out = []
@@ -85,18 +117,19 @@ def evaluate_seqrec_sharded(params, model, table, dataset: EvalDataset, item_emb
     )
     rank_fn = make_sharded_rank_fn(mesh, config.temp)
 
-    sums: Dict[str, float] = {}
-    count = 0.0
-    for batch in dataset.batches(batch_size):
-        b = assemble_for_config(table, jnp.asarray(batch.item_ids),
-                                jnp.asarray(batch.seq_lens), config)
+    ks = tuple(ks)
+    n_pad = emb_padded.shape[0] - n_items
+    emb_host = jnp.asarray(emb_padded)
+
+    @jax.jit
+    def batch_sums(params, item_ids, seq_lens, labels, valid):
+        b = assemble_for_config(table, item_ids, seq_lens, config)
         pooled = model.apply(params, b, deterministic=True).astype(jnp.float32)
-        rank, valid_len = rank_fn(pooled, emb_sharded, jnp.asarray(batch.labels))
+        rank, valid_len = rank_fn(pooled, emb_sharded, labels)
         # correct for zero-vector padding rows: they produce score exactly 0;
         # count how many padded rows outrank each label (score 0 > label score)
-        if n_items != emb_padded.shape[0]:
-            n_pad = emb_padded.shape[0] - n_items
-            label_emb = jnp.asarray(emb_padded)[jnp.asarray(batch.labels)]
+        if n_pad:
+            label_emb = emb_host[labels]
             pooled_n = pooled / jnp.maximum(
                 jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-8)
             le = label_emb / jnp.maximum(
@@ -104,17 +137,30 @@ def evaluate_seqrec_sharded(params, model, table, dataset: EvalDataset, item_emb
             label_score = jnp.sum(pooled_n * le, axis=-1) / config.temp
             rank = rank - n_pad * (label_score < 0.0)
             valid_len = valid_len - n_pad
-        w = jnp.asarray(batch.valid, jnp.float32)
+        w = valid.astype(jnp.float32)
+        out = {}
         for k in ks:
             ind = (rank < k).astype(jnp.float32)
-            sums[f"NDCG@{k}"] = sums.get(f"NDCG@{k}", 0.0) + float(
-                jnp.sum(w * ind / jnp.log2(rank + 2.0)))
-            sums[f"Recall@{k}"] = sums.get(f"Recall@{k}", 0.0) + float(jnp.sum(w * ind))
-        sums["MRR"] = sums.get("MRR", 0.0) + float(jnp.sum(w / (rank + 1.0)))
-        sums["AUC"] = sums.get("AUC", 0.0) + float(
-            jnp.sum(w * (1.0 - rank / jnp.maximum(valid_len, 1.0))))
-        count += float(jnp.sum(w))
-    return {k: v / max(count, 1.0) for k, v in sums.items()}
+            out[f"NDCG@{k}"] = jnp.sum(w * ind / jnp.log2(rank + 2.0))
+            out[f"Recall@{k}"] = jnp.sum(w * ind)
+        out["MRR"] = jnp.sum(w / (rank + 1.0))
+        out["AUC"] = jnp.sum(w * (1.0 - rank / jnp.maximum(valid_len, 1.0)))
+        out["count"] = jnp.sum(w)
+        return out
+
+    # accumulate on device; ONE host transfer at the end (per-batch float()
+    # costs a relay round-trip each — the device-accumulation lesson above)
+    totals = None
+    for batch in dataset.batches(batch_size):
+        out = batch_sums(params, jnp.asarray(batch.item_ids),
+                         jnp.asarray(batch.seq_lens), jnp.asarray(batch.labels),
+                         jnp.asarray(batch.valid))
+        totals = out if totals is None else jax.tree.map(jnp.add, totals, out)
+    if totals is None:
+        return {}
+    totals = {k: float(v) for k, v in totals.items()}
+    count = totals.pop("count")
+    return {k: v / max(count, 1.0) for k, v in totals.items()}
 
 
 def train_seqrec_epoch(state, step_fn, table, dataset: SequenceDataset, item_embeddings,
@@ -127,12 +173,12 @@ def train_seqrec_epoch(state, step_fn, table, dataset: SequenceDataset, item_emb
             pending_ids.append(batch.item_ids)
             pending_lens.append(batch.seq_lens)
             if len(pending_ids) == steps_per_call:
-                state, losses = multi_step(
+                state, trace = multi_step(
                     state, rng, table,
                     jnp.asarray(np.stack(pending_ids)),
                     jnp.asarray(np.stack(pending_lens)), item_embeddings,
                 )
-                meters.update("loss", float(jnp.mean(losses)), n=steps_per_call)
+                meters.update("loss", float(jnp.mean(trace["loss"])), n=steps_per_call)
                 pending_ids, pending_lens = [], []
         for ids, lens in zip(pending_ids, pending_lens):  # tail batches
             state, metrics = step_fn(state, rng, table, jnp.asarray(ids),
@@ -164,6 +210,7 @@ def finetune_two_stage(
     verbose: int = 3,
     rng: Optional[jax.Array] = None,
     steps_per_call: int = 1,
+    encode_cache: Optional[str] = None,
     log=print,
 ) -> Tuple[object, Dict[str, float]]:
     """The reference two-stage schedule (``finetune.py:298-353``):
@@ -180,12 +227,16 @@ def finetune_two_stage(
 
         multi_step = make_multi_step(step_fn, steps_per_call)
 
-    def encode(params):
-        return encode_all_items(params, model, table, config, encode_batch_size)
+    def encode(params, cache=None):
+        return encode_all_items(params, model, table, config, encode_batch_size,
+                                cache_path=cache)
 
     best_target = float("-inf")
     best_params = None
-    item_embeddings = encode(state.params)
+    # the initial (pre-training) encode is the one the reference disk-caches
+    # between launches (finetune.py:277-285); per-epoch re-encodes see fresh
+    # params every time, so caching them would never hit
+    item_embeddings = encode(state.params, cache=encode_cache)
 
     patience = 5
     for epoch in range(num_epochs):

@@ -175,10 +175,13 @@ def _local_grad_pretrain_step(config: RecformerConfig, model, mesh: Mesh):
     return step
 
 
-def make_multi_step(step_fn, n_steps: int, metric_key: str = "loss"):
+def make_multi_step(step_fn, n_steps: int):
     """Wrap a train step into a device-side ``lax.scan`` over ``n_steps``
     pre-staged batches: step(state, rng, table, stacked_item_ids (n, B, S),
-    stacked_seq_lens (n, B), *extras) -> (state, metric trace (n,)).
+    stacked_seq_lens (n, B), *extras) -> (state, metrics dict of (n,) traces).
+
+    The FULL per-step metric dict comes out of the scan (every step's loss /
+    accuracy / counters, not just the last), so drivers log real values.
 
     Amortizes host->device dispatch (one launch per n steps) — the TPU-native
     replacement for the reference's per-batch Python training loop. The input
@@ -191,7 +194,7 @@ def make_multi_step(step_fn, n_steps: int, metric_key: str = "loss"):
         def body(s, xs):
             ids, lens = xs
             s, m = step_fn(s, rng, table, ids, lens, *extras)
-            return s, m[metric_key]
+            return s, m
 
         return jax.lax.scan(body, state, (item_ids_stack, seq_lens_stack))
 

@@ -236,3 +236,43 @@ def test_finetune_fix_word_embedding(artifacts, tmp_path):
     a = saved["params"]["longformer"]["embeddings"]["item_position_embeddings"]["embedding"]
     b = fresh["params"]["longformer"]["embeddings"]["item_position_embeddings"]["embedding"]
     assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pretrain_steps_per_call_validation_fires(artifacts, tmp_path):
+    """steps_per_call=3 with valid_step_interval=4: the counter strides 3, 6,
+    ... and never hits a multiple of 4 — validation/top-k must fire on
+    *crossing* the interval, and scanned-call metrics must be real traces
+    (pretrain.py round-1 defects: `% == 0` gate + fabricated accuracy=0)."""
+    from recformer_tpu.cli.pretrain import _crossed, main
+
+    assert _crossed(4, 3, 6) and not _crossed(4, 0, 3) and not _crossed(4, 6, 6)
+    assert _crossed(4, 7, 8)
+
+    root = tmp_path / "pretrain_data"
+    os.makedirs(root)
+    rng = np.random.default_rng(3)
+    seqs = [[int(x) for x in rng.integers(0, 25, size=rng.integers(3, 8))]
+            for _ in range(24)]
+    write_json(seqs, str(root / "train.json"))
+    write_json(seqs[:8], str(root / "dev.json"))
+    for f in ("meta_data.json", "smap.json"):
+        write_json(json.load(open(artifacts / f)), str(root / f))
+
+    out = tmp_path / "pre_out_spc"
+    main([
+        "--data_path", str(root),
+        "--output_dir", str(out),
+        "--model_size", "tiny",
+        "--num_train_epochs", "2",  # 3 steps/epoch at global batch 8
+        "--batch_size", "1",  # x8 virtual devices (conftest) = global 8
+        "--gradient_accumulation_steps", "1",
+        "--warmup_steps", "2",
+        "--valid_step_interval", "4",
+        "--steps_per_call", "3",
+    ])
+    rows = [json.loads(l) for l in open(out / "logs" / "metrics.jsonl")]
+    dev_rows = [r for r in rows if "dev_accuracy" in r]
+    # steps 3 -> 6 crossed 4: exactly one mid-epoch validation fired
+    assert len(dev_rows) == 1 and dev_rows[0]["step"] == 6
+    # top-k checkpoints were written by that firing (plus epoch ends)
+    assert (out / "topk").exists() and any((out / "topk").iterdir())

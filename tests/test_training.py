@@ -1,5 +1,7 @@
 """End-to-end training smoke tests on synthetic data (tiny config, CPU)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -242,8 +244,8 @@ def test_multi_step_matches_sequential(world):
     s2 = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     ids = jnp.asarray(np.stack([b.item_ids for b in batches]))
     lens = jnp.asarray(np.stack([b.seq_lens for b in batches]))
-    s2, losses = multi(s2, rng, table, ids, lens, item_emb)
-    np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=1e-5)
+    s2, metrics = multi(s2, rng, table, ids, lens, item_emb)
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), losses_seq, rtol=1e-5)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
@@ -292,3 +294,32 @@ def test_scan_layers_remat_trains(world):
     for _ in range(2):
         state, metrics = step(state, jax.random.PRNGKey(1), table, item_ids, seq_lens)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_encode_all_items_disk_cache(world, tmp_path):
+    """cache_path round-trip: miss -> write, hit -> identical embeddings, and
+    a params change invalidates via the fingerprint (reference parity:
+    finetune.py:277-285, but keyed so a different ckpt re-encodes)."""
+    from recformer_tpu.training.loops import encode_all_items
+
+    cfg, table, *_ = world
+    model = RecformerForSeqRec(cfg)
+    dummy = {
+        k: jnp.zeros((1, cfg.item_seq_len), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    cache = str(tmp_path / "emb.npz")
+
+    emb1 = encode_all_items(params, model, table, cfg, 8, cache_path=cache)
+    assert os.path.exists(cache)
+    emb2 = encode_all_items(params, model, table, cfg, 8, cache_path=cache)
+    np.testing.assert_array_equal(np.asarray(emb1), np.asarray(emb2))
+
+    params2 = jax.tree.map(lambda x: x + 0.01, params)
+    emb3 = encode_all_items(params2, model, table, cfg, 8, cache_path=cache)
+    assert not np.array_equal(np.asarray(emb1), np.asarray(emb3))
+    # and the cache now holds the new params' result
+    emb4 = encode_all_items(params2, model, table, cfg, 8, cache_path=cache)
+    np.testing.assert_array_equal(np.asarray(emb3), np.asarray(emb4))
