@@ -67,6 +67,13 @@ class RecformerConfig:
     #   (see parallel/sequence.make_sequence_parallel_forward).
     attention_impl: str = "chunked"
     sequence_axis: str = "seq"
+    # Tensor parallelism + the Pallas kernel: a pallas_call is an opaque
+    # custom call GSPMD cannot split, but heads are embarrassingly parallel
+    # inside it. When set (to the mesh axis name the attention-head dim is
+    # sharded over, normally 'model'), the kernel is invoked inside a
+    # shard_map over that axis so each shard runs the fused kernel on its
+    # local heads. Requires an ambient mesh (jax.set_mesh) at trace time.
+    attention_head_shard_axis: str | None = None
     # 'xla' = let XLA fuse the 4-embedding sum + LayerNorm,
     # 'pallas' = fused Pallas sum+LN kernel (one VMEM pass, custom VJP).
     embed_ln_impl: str = "xla"

@@ -134,9 +134,19 @@ class LongformerSelfAttention(nn.Module):
         elif cfg.attention_impl == "pallas":
             from ..ops.pallas_attention import pallas_window_attention
 
-            out = pallas_window_attention(q, k, v, q_g, k_g, v_g, mask,
-                                          self.window, dropout_rate=drop_rate,
-                                          dropout_rng=drop_rng, g_out=g_out)
+            interpret = jax.default_backend() != "tpu"
+            if cfg.attention_head_shard_axis:
+                # tensor parallelism: run the (GSPMD-opaque) kernel inside a
+                # shard_map over the head axis — each shard computes its
+                # local heads' bands/globals independently
+                out = _head_sharded_pallas(cfg, q, k, v, q_g, k_g, v_g, g_out,
+                                           mask, self.window, drop_rate,
+                                           drop_rng, interpret)
+            else:
+                out = pallas_window_attention(q, k, v, q_g, k_g, v_g, mask,
+                                              self.window, dropout_rate=drop_rate,
+                                              dropout_rng=drop_rng, g_out=g_out,
+                                              interpret=interpret)
         elif cfg.attention_impl == "sequence_parallel":
             # context-parallel halo attention: this forward must be running
             # inside shard_map with dim 1 (tokens) sharded on cfg.sequence_axis
@@ -150,6 +160,49 @@ class LongformerSelfAttention(nn.Module):
             raise ValueError(cfg.attention_impl)
 
         return out.reshape(B, L, cfg.hidden_size)
+
+
+def _head_sharded_pallas(cfg, q, k, v, q_g, k_g, v_g, g_out, mask, window,
+                         drop_rate, drop_rng, interpret=False):
+    """Fused Pallas attention under tensor parallelism: shard_map over the
+    head dim (``cfg.attention_head_shard_axis``). Heads are independent in
+    the kernel, so each shard runs it on its local slice; the column-parallel
+    q/k/v projections already produce head-sharded tensors, so the specs
+    below match the incoming GSPMD placement (no resharding). Dropout folds
+    the shard index into the rng so head groups are decorrelated.
+
+    Requires an ambient mesh: callers enter ``jax.set_mesh(mesh)``."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas_attention import pallas_window_attention
+
+    axis = cfg.attention_head_shard_axis
+    hs = P(None, None, axis, None)
+    have_rng = drop_rate > 0.0
+    rng_arg = drop_rng if have_rng else jax.random.PRNGKey(0)
+
+    if g_out is not None:  # thin-global path: compact (B, G, H, D) epilogue
+        def kern(q, k, v, g_out, mask, rng):
+            r = jax.random.fold_in(rng, jax.lax.axis_index(axis)) if have_rng else None
+            return pallas_window_attention(
+                q, k, v, None, None, None, mask, window, interpret=interpret,
+                dropout_rate=drop_rate, dropout_rng=r, g_out=g_out)
+
+        return jax.shard_map(kern, mesh=None,
+                             in_specs=(hs, hs, hs, hs, P(), P()),
+                             out_specs=hs, check_vma=False)(
+            q, k, v, g_out.astype(q.dtype), mask, rng_arg)
+
+    def kern_full(q, k, v, q_g, k_g, v_g, mask, rng):
+        r = jax.random.fold_in(rng, jax.lax.axis_index(axis)) if have_rng else None
+        return pallas_window_attention(
+            q, k, v, q_g, k_g, v_g, mask, window, interpret=interpret,
+            dropout_rate=drop_rate, dropout_rng=r)
+
+    return jax.shard_map(kern_full, mesh=None,
+                         in_specs=(hs, hs, hs, hs, hs, hs, P(), P()),
+                         out_specs=hs, check_vma=False)(
+        q, k, v, q_g, k_g, v_g, mask, rng_arg)
 
 
 def _block_layernorm(cfg, x):

@@ -102,7 +102,25 @@ def validate_tp_config(cfg, mesh: Mesh) -> None:
             f"intermediate_size={cfg.intermediate_size} not divisible by "
             f"model axis {n_model}")
     if cfg.attention_impl == "pallas":
-        raise ValueError(
-            "tensor parallelism needs an XLA attention impl "
-            "(attention_impl='chunked' or 'dense'); a pallas_call is an "
-            "opaque custom call GSPMD cannot split over heads")
+        if cfg.attention_head_shard_axis != MODEL_AXIS:
+            raise ValueError(
+                "tensor parallelism with attention_impl='pallas' needs the "
+                "kernel sharded over heads: use tp_config(cfg) (sets "
+                "attention_head_shard_axis='model') and run under "
+                "jax.set_mesh(mesh), or pick an XLA impl (chunked/dense)")
+        lanes = (cfg.num_attention_heads // n_model) * cfg.head_dim
+        if jax.default_backend() == "tpu" and lanes % 128:
+            raise ValueError(
+                f"per-shard head width {lanes} (= heads/model_axis * head_dim)"
+                " must be a multiple of the 128-lane TPU tile; pick a model-"
+                "axis size that keeps it aligned (e.g. 2/3/6 for 12x64 heads)")
+
+
+def tp_config(cfg):
+    """Config adjustments for tensor parallelism: the Pallas kernel runs
+    head-sharded inside a shard_map over the 'model' axis (pallas_call is
+    GSPMD-opaque; heads are independent inside the kernel). XLA impls need
+    no change — GSPMD splits them from the param shardings alone."""
+    if cfg.attention_impl == "pallas":
+        return cfg.replace(attention_head_shard_axis=MODEL_AXIS)
+    return cfg
