@@ -155,6 +155,8 @@ def main():
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--attention", choices=["pallas", "chunked", "dense"], default="pallas")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat_policy", choices=["full", "save_attention", "dots", "dots_attn"],
+                    default="full")
     ap.add_argument("--scan_layers", action="store_true")
     ap.add_argument("--no-dropout", action="store_true", dest="no_dropout")
     ap.add_argument("--ln", choices=["xla", "pallas_bwd"], default="xla")
@@ -165,10 +167,12 @@ def main():
 
     if args.model == "base":
         cfg = RecformerConfig.base(attention_impl=args.attention, remat=args.remat,
+                                   remat_policy=args.remat_policy,
                                    scan_layers=args.scan_layers, ln_impl=args.ln)
         n_items, s_in = 10000, 32
     else:
         cfg = RecformerConfig.tiny(attention_impl=args.attention, remat=args.remat,
+                                   remat_policy=args.remat_policy,
                                    scan_layers=args.scan_layers, ln_impl=args.ln)
         n_items, s_in = 200, 12
 
@@ -193,6 +197,7 @@ def main():
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_reference.json")
     key = f"{args.task}-{args.model}-{args.attention}-b{args.batch_size}" + (
         "-scan" if args.scan_layers else "") + ("-remat" if args.remat else "") + (
+        f"-{args.remat_policy}" if args.remat and args.remat_policy != "full" else "") + (
         "-nodrop" if args.no_dropout else "") + (
         "-plnbwd" if getattr(args, "ln", "xla") == "pallas_bwd" else "")
     record = {}

@@ -44,6 +44,8 @@ def parse_args(argv=None):
     p.add_argument("--scan_layers", action="store_true", default=None,
                    help="stacked lax.scan encoder layers (faster compiles)")
     p.add_argument("--remat", action="store_true", default=None)
+    p.add_argument("--remat_policy", default=None,
+                   choices=["full", "save_attention", "dots", "dots_attn"])
     p.add_argument("--output_file", type=str, default=None)
     return p.parse_args(argv)
 

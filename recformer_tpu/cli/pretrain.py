@@ -71,13 +71,28 @@ def parse_args(argv=None):
     p.add_argument("--warmup_steps", type=int, default=1000)
     p.add_argument("--temp", type=float, default=0.05)
     p.add_argument("--mlm_weight", type=float, default=0.1)
-    p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
+    p.add_argument("--attention_impl", default=None,
+                   choices=["dense", "chunked", "pallas", "sequence_parallel"])
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="shard attention heads + FFN over a 'model' mesh axis "
+                        "of this size (Megatron-style column/row parallel; "
+                        "composes with data parallelism on the rest)")
+    p.add_argument("--pipeline", type=int, default=1,
+                   help="split the encoder stack over a 'pipe' mesh axis of "
+                        "this size (GPipe schedule; requires --scan_layers)")
+    p.add_argument("--microbatches", type=int, default=2,
+                   help="GPipe microbatches per step (with --pipeline)")
+    p.add_argument("--sequence_parallel", type=int, default=1,
+                   help="shard the token dim over a 'seq' mesh axis of this "
+                        "size (with --attention_impl sequence_parallel)")
     p.add_argument("--hidden_act", choices=["gelu", "gelu_tanh", "relu"], default=None,
                    help="override activation: 'gelu' (exact erf) restores HF parity "
                         "for imported checkpoints; base() defaults to gelu_tanh")
     p.add_argument("--scan_layers", action="store_true", default=None,
                    help="stacked lax.scan encoder layers (faster compiles)")
     p.add_argument("--remat", action="store_true", default=None)
+    p.add_argument("--remat_policy", default=None,
+                   choices=["full", "save_attention", "dots", "dots_attn"])
     p.add_argument("--save_top_k", type=int, default=5)
     p.add_argument("--zero", action="store_true",
                    help="ZeRO-1-style optimizer-state sharding over the data axis")
@@ -100,9 +115,56 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _resolve_parallelism(args, config):
+    """One-flag strategy selection (the reference's single-strategy switch,
+    ``lightning_pretrain.py:137-143``): returns (config, mesh, mode) with
+    mode in {'dp','tp','pp','sp'}. Every model-parallel mode composes with
+    data parallelism over the remaining devices; composing model-parallel
+    modes with each other is not wired."""
+    n_dev = jax.device_count()
+    modes = {"tp": args.tensor_parallel, "pp": args.pipeline,
+             "sp": args.sequence_parallel}
+    active = [m for m, v in modes.items() if v > 1]
+    if len(active) > 1:
+        raise SystemExit("pick at most one of --tensor_parallel / --pipeline "
+                         "/ --sequence_parallel > 1")
+    if (args.attention_impl == "sequence_parallel") != (args.sequence_parallel > 1):
+        raise SystemExit("--attention_impl sequence_parallel and "
+                         "--sequence_parallel N>1 go together")
+    mode = active[0] if active else "dp"
+    if mode != "dp" and args.zero:
+        raise SystemExit("--zero composes with plain data parallelism only "
+                         "(tp already shards optimizer state with the params)")
+    if mode == "dp":
+        return config, make_mesh() if n_dev > 1 else None, mode
+    n_model = modes[mode]
+    if n_dev % n_model:
+        raise SystemExit(f"device count {n_dev} not divisible by {n_model}")
+    if mode == "tp":
+        from ..parallel.tensor import tp_config, validate_tp_config
+
+        mesh = make_mesh(n_model=n_model)
+        config = tp_config(config)
+        validate_tp_config(config, mesh)
+        return config, mesh, mode
+    from jax.sharding import Mesh
+
+    second = {"pp": "pipe", "sp": config.sequence_axis}[mode]
+    if mode == "pp" and not config.scan_layers:
+        raise SystemExit("--pipeline requires --scan_layers (stacked layer "
+                         "params with a leading layer axis)")
+    if mode == "sp":
+        # SP shards the full-length k_g/v_g tensors (see parallel/sequence.py)
+        config = config.replace(global_kv_mode="full")
+    mesh = Mesh(np.array(jax.devices()[: n_dev]).reshape(
+        n_dev // n_model, n_model), ("data", second))
+    return config, mesh, mode
+
+
 def main(argv=None):
     args = parse_args(argv)
     config = build_config(args)
+    config, mesh, parallel_mode = _resolve_parallelism(args, config)
     tokenizer = make_tokenizer(config, args.hf_tokenizer)
 
     train_seqs = read_json(os.path.join(args.data_path, args.train_file)) \
@@ -136,17 +198,29 @@ def main(argv=None):
     )
     table = table_to_device(table_np)
 
-    mesh = make_mesh() if jax.device_count() > 1 else None
-    n_dev = jax.device_count()
-    global_batch = args.batch_size * n_dev
+    # global batch scales with the DATA extent only (model-parallel axes
+    # replicate the batch)
+    n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+    global_batch = args.batch_size * n_data
+    if parallel_mode == "pp" and global_batch % args.microbatches:
+        raise SystemExit(f"global batch {global_batch} must be divisible by "
+                         f"--microbatches {args.microbatches}")
 
     max_items = max(len(s) for s in train_seqs)
     train_ds = SequenceDataset({i: s for i, s in enumerate(train_seqs)}, max_items=max_items)
     dev_ds = SequenceDataset({i: s for i, s in enumerate(dev_seqs)}, max_items=max_items)
 
     model = RecformerForPretraining(config)
-    params = init_model_params(model, config, with_mlm=True)
+    # SP attention only traces inside its shard_map: init/eval use the
+    # chunked impl on the IDENTICAL param tree (attention_impl is weight-free)
+    eval_model = (RecformerForPretraining(config.replace(attention_impl="chunked"))
+                  if parallel_mode == "sp" else model)
+    params = init_model_params(eval_model, config, with_mlm=True)
     params = maybe_load_pretrained(params, args.longformer_ckpt)
+    if parallel_mode == "tp":
+        from ..parallel.tensor import shard_params_tp
+
+        params = shard_params_tp(params, mesh)
 
     steps_per_epoch = max(1, len(train_ds) // global_batch)
     total = steps_per_epoch * args.num_train_epochs
@@ -178,9 +252,24 @@ def main(argv=None):
         from ..parallel.mesh import shard_optimizer_state
 
         state = shard_optimizer_state(state, mesh)
-    step = make_pretrain_step(config, model, mesh=mesh, zero=args.zero)
+    if parallel_mode == "tp":
+        # zero=True keeps the TP-committed param/opt-state shardings
+        step = make_pretrain_step(config, model, mesh=mesh, zero=True)
+    elif parallel_mode == "pp":
+        from ..parallel.pipeline import make_pipeline_pretrain_step
+
+        step = make_pipeline_pretrain_step(config, model, mesh,
+                                           num_microbatches=args.microbatches)
+    elif parallel_mode == "sp":
+        from ..parallel.sequence import make_sp_pretrain_step
+
+        step = make_sp_pretrain_step(config, model, mesh)
+    else:
+        step = make_pretrain_step(config, model, mesh=mesh, zero=args.zero)
     multi_step = make_multi_step(step, args.steps_per_call) if args.steps_per_call > 1 else None
-    eval_step = make_pretrain_eval_step(config, model, mesh=mesh)
+    eval_step = make_pretrain_eval_step(
+        eval_model.config, eval_model, mesh=mesh,
+        keep_param_sharding=(parallel_mode == "tp"))
 
     rng = jax.random.PRNGKey(args.seed)
     best_acc = -1.0

@@ -131,6 +131,20 @@ class RecformerConfig:
     # ~30% more FLOPs for O(num_layers) less activation memory. Worth it for
     # big batches / long sequences.
     remat: bool = False
+    # What the layer remat saves (only meaningful with remat=True):
+    #   'full'           — save nothing, recompute the whole layer (classic).
+    #   'save_attention' — save the self-attention output (checkpoint_name
+    #     'attn_out'); backward then recomputes only the q/k/v/FFN GEMMs.
+    #     The fused attention kernel's backward needs just its *inputs* as
+    #     residuals (ops/pallas_attention.py::_band_core_fwd), so saving its
+    #     output lets XLA dead-code the fwd kernel out of the recompute —
+    #     the single most expensive op in the layer never runs twice.
+    #   'dots'           — jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    #     (save every non-batch matmul output; the attention kernel still
+    #     recomputes — it is a pallas_call, not a dot).
+    #   'dots_attn'      — both of the above: backward recomputes only
+    #     elementwise ops. Most memory, least recompute.
+    remat_policy: str = "full"
     # Reference parity: the reference's contrastive loss only backprops through
     # the local shard of gathered embeddings (models.py:475-490). JAX's
     # all_gather is natively differentiable; 'full' uses that (better
@@ -173,6 +187,8 @@ class RecformerConfig:
             )
         if self.hidden_act not in ("gelu", "gelu_tanh", "relu"):
             raise ValueError(f"unknown hidden_act {self.hidden_act!r}")
+        if self.remat_policy not in ("full", "save_attention", "dots", "dots_attn"):
+            raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
         if self.pooler_type not in ("cls", "avg"):
             raise ValueError(f"unknown pooler_type {self.pooler_type!r}")
         if self.attention_impl not in ("dense", "chunked", "pallas",

@@ -15,6 +15,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..config import RecformerConfig
 from ..ops.attention import (chunked_attention, dense_attention,
@@ -159,7 +160,11 @@ class LongformerSelfAttention(nn.Module):
         else:  # pragma: no cover
             raise ValueError(cfg.attention_impl)
 
-        return out.reshape(B, L, cfg.hidden_size)
+        # Named for selective remat: remat_policy='save_attention' saves this
+        # value so the backward recompute never re-runs the attention kernel
+        # (identity op otherwise).
+        return checkpoint_name(
+            out.reshape(B, L, cfg.hidden_size), "attn_out")
 
 
 def _head_sharded_pallas(cfg, q, k, v, q_g, k_g, v_g, g_out, mask, window,
@@ -286,6 +291,23 @@ class _LayerForScan(nn.Module):
         return hidden, None
 
 
+def _remat_policy(cfg: RecformerConfig):
+    """jax.checkpoint policy selected by ``config.remat_policy`` (see the
+    config field doc for the trade-offs)."""
+    if cfg.remat_policy == "save_attention":
+        return jax.checkpoint_policies.save_only_these_names("attn_out")
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if cfg.remat_policy == "dots_attn":
+        # save every GEMM output AND the attention-kernel output: backward
+        # recomputes only elementwise ops (GELU/LN/dropout) — near-unrolled
+        # speed at scan_layers' compile time, if the residuals fit HBM
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            jax.checkpoint_policies.save_only_these_names("attn_out"))
+    return None  # 'full': recompute everything
+
+
 class LongformerEncoder(nn.Module):
     config: RecformerConfig
 
@@ -302,6 +324,7 @@ class LongformerEncoder(nn.Module):
                     _LayerForScan,
                     prevent_cse=False,
                     static_argnums=(),
+                    policy=_remat_policy(cfg),
                 )
             scanned = nn.scan(
                 scan_cls,
@@ -314,7 +337,8 @@ class LongformerEncoder(nn.Module):
             return hidden
         layer_cls = EncoderLayer
         if cfg.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(3,),
+                                 policy=_remat_policy(cfg))
         for i, window in enumerate(cfg.attention_window):
             hidden = layer_cls(cfg, window, name=f"layer_{i}")(
                 hidden, mask, deterministic

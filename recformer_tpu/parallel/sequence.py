@@ -312,3 +312,139 @@ def make_sequence_parallel_attention(mesh: Mesh, window: int,
         return mapped(q, k, v, q_g, k_g, v_g, mask)
 
     return run
+
+
+def make_sp_pretrain_step(config, model, mesh: Mesh,
+                          axis_name: str = None):
+    """Full pretraining step with the LONG sequence tower's token dim sharded
+    over the mesh's seq axis (context parallelism) — the driver-reachable SP
+    training mode. The short item tower (``item_seq_len`` tokens) runs the
+    plain replicated-token forward with the *identical* param tree (config
+    differs only in ``attention_impl``, which is weight-free).
+
+    ``model``: ``RecformerForPretraining`` with
+    ``attention_impl='sequence_parallel'`` and ``global_kv_mode='full'``.
+    ``mesh`` may also carry a 'data' axis (batch sharded over it).
+
+    Returns step(state, rng, table, item_ids, seq_lens) -> (state, metrics),
+    the same contract as ``training.steps.make_pretrain_step``. Dropout
+    streams are decorrelated across seq shards by folding the shard index
+    into the rng (reference dropout *rate* semantics preserved; bitwise mask
+    parity with the unsharded step is not a goal).
+    """
+    from ..data.device_pipeline import make_pretrain_batch
+    from ..models.embeddings import create_position_ids_from_input_ids
+    from ..models.heads import RecformerForPretraining
+    from ..models.recformer import merge_attention_masks
+    from ..parallel.mesh import DATA_AXIS
+    from ..training import losses
+    from jax.sharding import NamedSharding
+
+    cfg = config
+    axis_name = axis_name or cfg.sequence_axis
+    if cfg.attention_impl != "sequence_parallel":
+        raise ValueError("make_sp_pretrain_step needs "
+                         "attention_impl='sequence_parallel'")
+    if cfg.global_kv_mode != "full":
+        raise ValueError("sequence parallelism shards the full-length "
+                         "k_g/v_g tensors: set global_kv_mode='full'")
+    S = mesh.shape[axis_name]
+    half = max(cfg.attention_window) // 2
+    if cfg.max_token_num % S or (cfg.max_token_num // S) < half:
+        raise ValueError(
+            f"max_token_num={cfg.max_token_num} over {S} seq shards leaves "
+            f"<{half} (window/2) tokens per shard")
+    batch_axis = DATA_AXIS if DATA_AXIS in mesh.shape else None
+    spec = P(batch_axis, axis_name)
+
+    # item tower: identical params, tokens replicated, chunked XLA attention
+    model_b = RecformerForPretraining(cfg.replace(attention_impl="chunked"))
+
+    def encode_only(mdl, input_ids, merged_mask, token_type_ids,
+                    item_position_ids, position_ids):
+        x = mdl.longformer.embeddings(
+            input_ids=input_ids, token_type_ids=token_type_ids,
+            item_position_ids=item_position_ids, position_ids=position_ids,
+            deterministic=False)
+        return mdl.longformer.encoder(x, merged_mask, deterministic=False)
+
+    def shard_fn(params, rng, ids, merged, tt, ipos, pos):
+        rngs = {"dropout": jax.random.fold_in(
+            rng, jax.lax.axis_index(axis_name))}
+        return model.apply(params, ids, merged, tt, ipos, pos,
+                           method=encode_only, rngs=rngs)
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh, in_specs=(P(), P()) + (spec,) * 5,
+        out_specs=spec, check_vma=False)
+
+    def pool_only(mdl, mask, hidden):
+        return mdl.longformer.pooler(mask, hidden)
+
+    def lm_only(mdl, gathered):
+        h = mdl.lm_head(gathered)
+        logits = mdl.longformer.embeddings.word_embeddings.attend(h)
+        return logits.astype(jnp.float32) + mdl.lm_head.bias.astype(jnp.float32)
+
+    def tower_sp(params, batch, rng):
+        """Sequence view: clean + MLM passes fused into one (2B, L) SP
+        forward (mirrors heads.RecformerForPretraining._tower)."""
+        has_mlm = "mlm_input_ids" in batch
+
+        def dup(x):
+            return jnp.concatenate([x, x], axis=0) if has_mlm else x
+
+        ids = (jnp.concatenate([batch["input_ids"], batch["mlm_input_ids"]], 0)
+               if has_mlm else batch["input_ids"])
+        merged = merge_attention_masks(dup(batch["attention_mask"]),
+                                       dup(batch["global_attention_mask"]))
+        # padding-aware position ids: full-length cumsum OUTSIDE the
+        # shard_map (a sharded prefix op under GSPMD)
+        pos = create_position_ids_from_input_ids(ids, cfg.pad_token_id)
+        hidden = mapped(params, rng, ids, merged, dup(batch["token_type_ids"]),
+                        dup(batch["item_position_ids"]), pos)
+        pooled = model.apply(params, merged, hidden, method=pool_only)
+        B = batch["input_ids"].shape[0]
+        if not has_mlm:
+            return pooled, None
+        z = pooled[:B]
+        gathered = jnp.take_along_axis(
+            hidden[B:], batch["mlm_positions"][:, :, None], axis=1)
+        return z, model.apply(params, gathered, method=lm_only)
+
+    def loss_fn(params, rng, batch_a, batch_b):
+        rng_a, rng_b = jax.random.split(rng)
+        z1, mlm_a = tower_sp(params, batch_a, rng_a)
+        z2, mlm_b = model_b.apply(params, batch_b, False, method="_tower",
+                                  rngs={"dropout": rng_b})
+        cl_loss, correct, total = losses.info_nce_loss(
+            z1, z2, cfg.temp, grad_mode=cfg.contrastive_gradient)
+        loss = cl_loss
+        metrics = {"cl_loss": cl_loss, "cl_correct": correct, "cl_total": total}
+        if mlm_a is not None:
+            m = losses.mlm_loss(mlm_a, batch_a["mlm_labels"])
+            loss = loss + cfg.mlm_weight * m
+            metrics["mlm_loss_a"] = m
+        if mlm_b is not None:
+            m = losses.mlm_loss(mlm_b, batch_b["mlm_labels"])
+            loss = loss + cfg.mlm_weight * m
+            metrics["mlm_loss_b"] = m
+        metrics["loss"] = loss
+        metrics["accuracy"] = correct / jnp.maximum(total, 1e-5)
+        return loss, metrics
+
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(batch_axis)) if batch_axis else rep
+
+    @functools.partial(jax.jit, in_shardings=(rep, rep, rep, data, data),
+                       out_shardings=(rep, rep))
+    def step(state, rng, table, item_ids, seq_lens):
+        rng_data, rng_drop = jax.random.split(
+            jax.random.fold_in(rng, state.step))
+        batch_a, batch_b = make_pretrain_batch(rng_data, table, item_ids,
+                                               seq_lens, cfg)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, rng_drop, batch_a, batch_b)
+        return state.apply_gradients(grads=grads), metrics
+
+    return step

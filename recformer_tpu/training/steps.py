@@ -46,8 +46,9 @@ def _shardings(mesh: Optional[Mesh]):
     from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 
     rep = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(DATA_AXIS))
-    catalog = NamedSharding(mesh, P(MODEL_AXIS))
+    data = NamedSharding(mesh, P(DATA_AXIS)) if DATA_AXIS in mesh.shape else rep
+    catalog = (NamedSharding(mesh, P(MODEL_AXIS))
+               if MODEL_AXIS in mesh.shape else rep)
     return rep, data, catalog
 
 
@@ -201,9 +202,11 @@ def make_multi_step(step_fn, n_steps: int):
     return run
 
 
-def make_pretrain_eval_step(config: RecformerConfig, model, mesh: Optional[Mesh] = None):
+def make_pretrain_eval_step(config: RecformerConfig, model, mesh: Optional[Mesh] = None,
+                            keep_param_sharding: bool = False):
     """Validation step: deterministic forward, contrastive accuracy + loss
-    (reference ``litmodels.py:30-40``)."""
+    (reference ``litmodels.py:30-40``). ``keep_param_sharding=True`` leaves
+    the params' committed placement alone (tensor-parallel shards)."""
 
     def step(params, rng, table, item_ids, seq_lens):
         batch_a, batch_b = make_pretrain_batch(rng, table, item_ids, seq_lens, config)
@@ -217,7 +220,9 @@ def make_pretrain_eval_step(config: RecformerConfig, model, mesh: Optional[Mesh]
         return {"val_loss": loss, "cl_correct": correct, "cl_total": total}
 
     rep, data, _ = _shardings(mesh)
-    return _jit(step, mesh, in_shardings=(rep, rep, rep, data, data), out_shardings=rep)
+    params_sh = None if keep_param_sharding else rep
+    return _jit(step, mesh, in_shardings=(params_sh, rep, rep, data, data),
+                out_shardings=rep)
 
 
 # ---------------------------------------------------------------------------

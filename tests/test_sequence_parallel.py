@@ -193,3 +193,92 @@ def test_full_model_training_mode_runs_sharded():
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     assert not np.allclose(np.asarray(p1), np.asarray(p3))
     assert not np.allclose(np.asarray(p1), np.asarray(p_eval))
+
+
+def test_sp_pretrain_step_matches_single_device():
+    """The full SP training step (dual tower + MLM, grads through the halo
+    shard_map) == the plain jit step at dropout 0."""
+    import optax
+
+    from recformer_tpu.config import RecformerConfig
+    from recformer_tpu.data.device_pipeline import make_pretrain_batch
+    from recformer_tpu.models.heads import RecformerForPretraining
+    from recformer_tpu.parallel.sequence import make_sp_pretrain_step
+    from recformer_tpu.training.steps import TrainState, make_pretrain_step
+
+    kw = dict(
+        max_token_num=64, item_seq_len=32, max_item_embeddings=6,
+        attention_window=(16, 16), hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, dtype="float32")
+    cfg_ref = RecformerConfig.tiny(attention_impl="chunked", **kw)
+    cfg_sp = RecformerConfig.tiny(attention_impl="sequence_parallel",
+                                  global_kv_mode="full", **kw)
+    import __graft_entry__ as ge
+
+    table = ge._synthetic_table(cfg_ref, 12)
+    rng = np.random.default_rng(0)
+    B = 8
+    item_ids = jnp.asarray(rng.integers(0, 12, size=(B, 6)).astype(np.int32))
+    seq_lens = jnp.asarray(rng.integers(2, 7, size=B).astype(np.int32))
+    model_ref = RecformerForPretraining(cfg_ref)
+    ba, bb = make_pretrain_batch(jax.random.PRNGKey(0), table, item_ids,
+                                 seq_lens, cfg_ref)
+    params = model_ref.init(jax.random.PRNGKey(0), ba, bb)
+    # SGD: Adam's m/sqrt(v) amplifies reduction-order noise (see PP test)
+    tx = optax.sgd(1e-2)
+
+    s_ref = TrainState.create(apply_fn=model_ref.apply, params=params, tx=tx)
+    single = make_pretrain_step(cfg_ref, model_ref)
+    s_ref, m_ref = single(s_ref, jax.random.PRNGKey(1), table, item_ids,
+                          seq_lens)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "seq"))
+    model_sp = RecformerForPretraining(cfg_sp)
+    s_sp = TrainState.create(apply_fn=model_sp.apply, params=params, tx=tx)
+    step = make_sp_pretrain_step(cfg_sp, model_sp, mesh)
+    s_sp, m_sp = step(s_sp, jax.random.PRNGKey(1), table, item_ids, seq_lens)
+
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_sp["loss"]),
+                               rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_sp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_sp_pretrain_step_trains_with_dropout():
+    """SP trains with reference dropout-rate semantics: per-shard streams,
+    finite loss, rng-sensitive."""
+    from recformer_tpu.config import RecformerConfig
+    from recformer_tpu.models.heads import RecformerForPretraining
+    from recformer_tpu.parallel.sequence import make_sp_pretrain_step
+    from recformer_tpu.training.optimizer import create_optimizer
+    from recformer_tpu.training.steps import TrainState
+    import __graft_entry__ as ge
+
+    cfg = RecformerConfig.tiny(
+        attention_impl="sequence_parallel", global_kv_mode="full",
+        max_token_num=64, item_seq_len=32, max_item_embeddings=6,
+        attention_window=(16, 16), hidden_dropout_prob=0.1,
+        attention_probs_dropout_prob=0.1, dtype="float32")
+    table = ge._synthetic_table(cfg, 12)
+    rng = np.random.default_rng(0)
+    B = 4
+    item_ids = jnp.asarray(rng.integers(0, 12, size=(B, 6)).astype(np.int32))
+    seq_lens = jnp.asarray(rng.integers(2, 7, size=B).astype(np.int32))
+    model = RecformerForPretraining(cfg)
+    from recformer_tpu.data.device_pipeline import make_pretrain_batch
+
+    ba, bb = make_pretrain_batch(jax.random.PRNGKey(0), table, item_ids,
+                                 seq_lens, cfg.replace(attention_impl="chunked"))
+    params = RecformerForPretraining(
+        cfg.replace(attention_impl="chunked")).init(jax.random.PRNGKey(0), ba, bb)
+    tx = create_optimizer(learning_rate=1e-3, warmup_steps=0, total_steps=10)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("seq",))
+    step = make_sp_pretrain_step(cfg, model, mesh)
+
+    s1 = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    s1, m1 = step(s1, jax.random.PRNGKey(1), table, item_ids, seq_lens)
+    assert np.isfinite(float(m1["loss"]))
+    s2 = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    s2, m2 = step(s2, jax.random.PRNGKey(2), table, item_ids, seq_lens)
+    assert float(m1["loss"]) != float(m2["loss"])

@@ -296,6 +296,47 @@ def test_scan_layers_remat_trains(world):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_remat_policy_grads_match_no_remat(world):
+    """Selective remat ('save_attention' / 'dots') is a pure scheduling
+    choice: gradients must match the no-remat step exactly (same math, XLA
+    just recomputes less in backward). Guards the checkpoint_name tagging in
+    models/encoder.py against silently changing values."""
+    from recformer_tpu.data.device_pipeline import make_pretrain_batch
+
+    cfg, table, user2train, *_ = world
+    cfg = cfg.replace(scan_layers=True, hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0, dtype="float32")
+    ds = SequenceDataset(user2train, max_items=16)
+    batch = next(ds.batches(8, drop_last=True))
+    item_ids = jnp.asarray(batch.item_ids)
+    seq_lens = jnp.asarray(batch.seq_lens)
+
+    def grads_for(c):
+        model = RecformerForPretraining(c)
+        ba, bb = make_pretrain_batch(jax.random.PRNGKey(0), table, item_ids,
+                                     seq_lens, c)
+        params = model.init(jax.random.PRNGKey(0), ba, bb)
+
+        def loss_fn(p):
+            from recformer_tpu.training import losses
+            out = model.apply(p, ba, bb)
+            cl, _, _ = losses.info_nce_loss(out.z1, out.z2, c.temp)
+            return cl
+
+        return jax.grad(loss_fn)(params)
+
+    ref = grads_for(cfg)
+    for policy in ("full", "save_attention", "dots"):
+        got = grads_for(cfg.replace(remat=True, remat_policy=policy))
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"policy={policy}")
+
+    with pytest.raises(ValueError):
+        cfg.replace(remat_policy="bogus")
+
+
 def test_encode_all_items_disk_cache(world, tmp_path):
     """cache_path round-trip: miss -> write, hit -> identical embeddings, and
     a params change invalidates via the fingerprint (reference parity:
