@@ -207,18 +207,39 @@ def main():
                 record = json.load(f)
         except Exception:
             record = {}
-    baseline = record.get(key)
-    if baseline is None:
-        record[key] = baseline = rate
-        with open(ref_path, "w") as f:
-            json.dump(record, f)
 
-    print(json.dumps({
+    def vs_baseline(k, r):
+        b = record.get(k)
+        if b is None:
+            record[k] = b = r
+            with open(ref_path, "w") as f:
+                json.dump(record, f)
+        return r / b
+
+    out = {
         "metric": metric,
         "value": round(rate, 3),
         "unit": unit,
-        "vs_baseline": round(rate / baseline, 3),
-    }))
+        "vs_baseline": round(vs_baseline(key, rate), 3),
+    }
+
+    # the default invocation additionally reports the compile-practical
+    # PRODUCTION config (scan_layers + selective remat) so round-over-round
+    # deltas also track what real runs use (docs/PERF.md)
+    if (args.task == "pretrain" and args.model == "base"
+            and not args.scan_layers and not args.remat):
+        pcfg = cfg.replace(scan_layers=True, remat=True,
+                           remat_policy="dots_attn")
+        prate, _, _ = bench_pretrain(pcfg, table, item_ids, seq_lens, args.steps)
+        prate /= jax.device_count()
+        pkey = (f"pretrain-{args.model}-{args.attention}-b{args.batch_size}"
+                "-scan-remat-dots_attn"
+                + ("-nodrop" if args.no_dropout else "")
+                + ("-plnbwd" if args.ln == "pallas_bwd" else ""))
+        out["production_value"] = round(prate, 3)
+        out["production_vs_baseline"] = round(vs_baseline(pkey, prate), 3)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
