@@ -157,6 +157,7 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--remat_policy", choices=["full", "save_attention", "dots", "dots_attn"],
                     default="full")
+    ap.add_argument("--scan_unroll", type=int, default=1)
     ap.add_argument("--scan_layers", action="store_true")
     ap.add_argument("--no-dropout", action="store_true", dest="no_dropout")
     ap.add_argument("--ln", choices=["xla", "pallas_bwd"], default="xla")
@@ -168,7 +169,8 @@ def main():
     if args.model == "base":
         cfg = RecformerConfig.base(attention_impl=args.attention, remat=args.remat,
                                    remat_policy=args.remat_policy,
-                                   scan_layers=args.scan_layers, ln_impl=args.ln)
+                                   scan_layers=args.scan_layers, ln_impl=args.ln,
+                                   scan_unroll=args.scan_unroll)
         n_items, s_in = 10000, 32
     else:
         cfg = RecformerConfig.tiny(attention_impl=args.attention, remat=args.remat,
@@ -199,6 +201,7 @@ def main():
         "-scan" if args.scan_layers else "") + ("-remat" if args.remat else "") + (
         f"-{args.remat_policy}" if args.remat and args.remat_policy != "full" else "") + (
         "-nodrop" if args.no_dropout else "") + (
+        f"-u{args.scan_unroll}" if args.scan_unroll > 1 else "") + (
         "-plnbwd" if getattr(args, "ln", "xla") == "pallas_bwd" else "")
     record = {}
     if os.path.exists(ref_path):

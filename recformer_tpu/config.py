@@ -145,6 +145,10 @@ class RecformerConfig:
     #   'dots_attn'      — both of the above: backward recomputes only
     #     elementwise ops. Most memory, least recompute.
     remat_policy: str = "full"
+    # lax.scan unroll factor for the scanned encoder (scan_layers=True): >1
+    # re-exposes cross-layer fusion to XLA at k x the program size. Measured
+    # on v5e (docs/PERF.md): a wash at the 12-layer depth — kept at 1.
+    scan_unroll: int = 1
     # Reference parity: the reference's contrastive loss only backprops through
     # the local shard of gathered embeddings (models.py:475-490). JAX's
     # all_gather is natively differentiable; 'full' uses that (better
@@ -189,6 +193,9 @@ class RecformerConfig:
             raise ValueError(f"unknown hidden_act {self.hidden_act!r}")
         if self.remat_policy not in ("full", "save_attention", "dots", "dots_attn"):
             raise ValueError(f"unknown remat_policy {self.remat_policy!r}")
+        if self.scan_unroll < 1 or (self.scan_layers and
+                                    self.num_hidden_layers % self.scan_unroll):
+            raise ValueError("scan_unroll must be >=1 and divide num_hidden_layers")
         if self.pooler_type not in ("cls", "avg"):
             raise ValueError(f"unknown pooler_type {self.pooler_type!r}")
         if self.attention_impl not in ("dense", "chunked", "pallas",

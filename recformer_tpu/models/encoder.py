@@ -332,6 +332,7 @@ class LongformerEncoder(nn.Module):
                 split_rngs={"params": True, "dropout": True},
                 length=cfg.num_hidden_layers,
                 in_axes=(nn.broadcast,),
+                unroll=cfg.scan_unroll,
             )(cfg, cfg.attention_window[0], deterministic, name="layers")
             hidden, _ = scanned(hidden, mask)
             return hidden
