@@ -46,6 +46,11 @@ def parse_args(argv=None):
     p.add_argument("--remat", action="store_true", default=None)
     p.add_argument("--remat_policy", default=None,
                    choices=["full", "save_attention", "dots", "dots_attn"])
+    p.add_argument("--item_embeddings", type=str, default=None,
+                   help="precomputed catalog .npy saved by cli.finetune — "
+                        "REQUIRED to reproduce a two-stage finetune's test "
+                        "metric (the catalog is part of the checkpoint; a "
+                        "fresh encode is the zero-shot protocol instead)")
     p.add_argument("--output_file", type=str, default=None)
     return p.parse_args(argv)
 
@@ -65,11 +70,20 @@ def main(argv=None):
     params = init_model_params(model, config)
     params = maybe_load_pretrained(params, args.ckpt)
 
-    # disk-cached catalog encode (reference finetune.py:277-285), keyed by a
-    # params fingerprint so a different checkpoint re-encodes
-    item_embeddings = encode_all_items(
-        params, model, table, config, args.encode_batch_size,
-        cache_path=os.path.join(args.data_path, "preprocess", f"item_emb_{name}.npz"))
+    if args.item_embeddings:
+        import jax.numpy as jnp
+        import numpy as np
+
+        # the catalog saved with the finetuned checkpoint (see cli.finetune):
+        # reproduces the two-stage test metric exactly
+        item_embeddings = jnp.asarray(np.load(args.item_embeddings))
+    else:
+        # zero-shot protocol: fresh encode, disk-cached (reference
+        # finetune.py:277-285), keyed by a params fingerprint
+        item_embeddings = encode_all_items(
+            params, model, table, config, args.encode_batch_size,
+            cache_path=os.path.join(args.data_path, "preprocess",
+                                    f"item_emb_{name}.npz"))
     max_items = max(max((len(s) for s in train.values()), default=1), 1) + 1
     ds = EvalDataset(train, val, test, args.split, max_items=max_items)
     metrics = evaluate_seqrec(params, model, table, ds, item_embeddings, config,

@@ -18,6 +18,8 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from ..data.datasets import EvalDataset, SequenceDataset
 from ..models.heads import RecformerForSeqRec
@@ -112,7 +114,7 @@ def main(argv=None):
         tx = optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()}, label_fn)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
-    state, test_metrics = finetune_two_stage(
+    state, item_embeddings, test_metrics = finetune_two_stage(
         state, model, table, config, train_ds, val_ds, test_ds,
         num_epochs=args.num_train_epochs, batch_size=args.batch_size,
         eval_batch_size=args.eval_batch_size, encode_batch_size=args.encode_batch_size,
@@ -125,6 +127,11 @@ def main(argv=None):
     out = os.path.join(args.output_dir, name)
     os.makedirs(out, exist_ok=True)
     save_params(os.path.join(out, "best_model"), state.params)
+    # the catalog the selected params were trained against is part of the
+    # artifact (reference state_dict carries init_item_embedding); eval-only
+    # runs consume it via `evaluate_seq --item_embeddings`
+    np.save(os.path.join(out, "item_embeddings.npy"),
+            np.asarray(item_embeddings.astype(jnp.float32)))
     config.save(os.path.join(out, "config.json"))
     with open(os.path.join(out, "test_metrics.json"), "w") as f:
         json.dump(test_metrics, f, indent=2)

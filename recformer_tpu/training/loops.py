@@ -218,7 +218,18 @@ def finetune_two_stage(
     Stage 1: every epoch re-encode the catalog from the current encoder, then
     train; eval every ``verbose`` epochs on NDCG@10 with patience 5.
     Stage 2: reload the stage-1 best, keep item embeddings frozen (no
-    re-encode), patience 3. Returns (best_state, test_metrics)."""
+    re-encode), patience 3. Returns
+    (best_state, best_item_embeddings, test_metrics) — the catalog travels
+    with the params, see below.
+
+    The ITEM CATALOG IS PART OF THE CHECKPOINT: the reference saves
+    ``state_dict()`` including the ``init_item_embedding`` buffer and tests
+    after ``load_state_dict`` (``finetune.py:306-353``) — the test eval runs
+    against the exact embeddings the selected params were trained/selected
+    with. Re-encoding the catalog at test time from the best params scores
+    the sequence encoder against a pairing it was never optimized for and
+    collapses test metrics toward the popularity floor (observed -62% on the
+    structured synthetic corpus, round 2)."""
     rng = rng if rng is not None else jax.random.PRNGKey(42)
     step_fn = make_finetune_step(config, model)
     multi_step = None
@@ -233,6 +244,7 @@ def finetune_two_stage(
 
     best_target = float("-inf")
     best_params = None
+    best_item_embeddings = None  # snapshotted WITH the params (see docstring)
     # the initial (pre-training) encode is the one the reference disk-caches
     # between launches (finetune.py:277-285); per-epoch re-encodes see fresh
     # params every time, so caching them would never hit
@@ -252,6 +264,8 @@ def finetune_two_stage(
             if dev["NDCG@10"] > best_target:
                 best_target = dev["NDCG@10"]
                 best_params = jax.tree.map(np.asarray, state.params)
+                best_item_embeddings = np.asarray(
+                    item_embeddings.astype(jnp.float32))
                 patience = 5
             else:
                 patience -= 1
@@ -260,7 +274,8 @@ def finetune_two_stage(
 
     if best_params is not None:
         state = state.replace(params=jax.tree.map(jnp.asarray, best_params))
-    item_embeddings = encode(state.params)
+        item_embeddings = jnp.asarray(best_item_embeddings)
+    # stage 2 keeps this catalog FROZEN through training, selection and test
 
     patience = 3
     for epoch in range(num_epochs):
@@ -275,6 +290,8 @@ def finetune_two_stage(
             if dev["NDCG@10"] > best_target:
                 best_target = dev["NDCG@10"]
                 best_params = jax.tree.map(np.asarray, state.params)
+                best_item_embeddings = np.asarray(
+                    item_embeddings.astype(jnp.float32))
                 patience = 3
             else:
                 patience -= 1
@@ -283,10 +300,12 @@ def finetune_two_stage(
 
     if best_params is not None:
         state = state.replace(params=jax.tree.map(jnp.asarray, best_params))
-    item_embeddings = encode(state.params)
+        item_embeddings = jnp.asarray(best_item_embeddings)
+    # NO re-encode: test scores against the catalog the selected params were
+    # trained with (reference load_state_dict semantics, finetune.py:351-353)
     test_metrics = evaluate_seqrec(state.params, model, table, test_dataset,
                                    item_embeddings, config, eval_batch_size)
-    return state, test_metrics
+    return state, item_embeddings, test_metrics
 
 
 # ---------------------------------------------------------------------------

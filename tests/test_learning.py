@@ -69,7 +69,7 @@ def test_finetune_learns_cluster_structure():
     val_ds = EvalDataset(train, val, test, "val", max_items=8)
     test_ds = EvalDataset(train, val, test, "test", max_items=8)
 
-    state, metrics = finetune_two_stage(
+    state, item_emb, metrics = finetune_two_stage(
         state, model, table, cfg, train_ds, val_ds, test_ds,
         num_epochs=4, batch_size=8, eval_batch_size=8, encode_batch_size=16,
         verbose=2, log=lambda *a: None,

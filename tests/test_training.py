@@ -128,7 +128,7 @@ def test_two_stage_finetune_end_to_end(world):
     val_ds = EvalDataset(user2train, user2val, user2test, "val", max_items=16)
     test_ds = EvalDataset(user2train, user2val, user2test, "test", max_items=16)
 
-    state, test_metrics = finetune_two_stage(
+    state, item_emb, test_metrics = finetune_two_stage(
         state, model, table, cfg, train_ds, val_ds, test_ds,
         num_epochs=2, batch_size=8, eval_batch_size=8, encode_batch_size=8,
         verbose=1, log=lambda *a: None,
