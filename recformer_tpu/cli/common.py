@@ -61,8 +61,7 @@ def tokenize_corpus_cached(
         print(f"[corpus] cache hit: {cache}")
         return ItemTable.load(cache)
     print(f"[corpus] tokenizing {len(item_meta)} items")
-    tokenized = tokenizer.tokenize_corpus(item_meta, item2id)
-    table = ItemTable.build(tokenized, tokenizer.config, tokenizer.backend.pad_token_id)
+    table = tokenizer.encode_corpus_table(item_meta, item2id)
     table.save(cache)
     return table
 

@@ -191,3 +191,34 @@ class RecformerTokenizer:
                 continue
             out[item2id[raw_id]] = self.encode_item(attrs)
         return out
+
+    def encode_corpus_table(self, item_meta: Dict, item2id: Dict[str, int]):
+        """Corpus -> packed ItemTable, through the native (C++) tokenizer +
+        packer when the backend is the hash SimpleVocab and the text is
+        ASCII; Python encode_item loop otherwise. Bit-identical outputs
+        (tests/test_native.py)."""
+        from ..data.item_table import ItemTable
+        from ..data.vocab import SimpleVocab
+
+        cfg = self.config
+        if isinstance(self.backend, SimpleVocab):
+            from ..native import (pack_item_table_native,
+                                  tokenize_corpus_hash_native)
+
+            mapped = [item2id[k] for k in item_meta if k in item2id]
+            n = (max(mapped) + 1) if mapped else 0  # ItemTable.build sizing
+            items_attrs = [[] for _ in range(n)]
+            for raw_id, attrs in item_meta.items():
+                if raw_id in item2id:
+                    items_attrs[item2id[raw_id]] = list(attrs.items())
+            ragged = tokenize_corpus_hash_native(
+                items_attrs, self.backend, cfg.max_attr_num,
+                cfg.max_attr_length)
+            if ragged is not None:
+                packed = pack_item_table_native(
+                    *ragged, cfg.max_item_token_len,
+                    self.backend.pad_token_id)
+                if packed is not None:
+                    return ItemTable(*packed)
+        return ItemTable.build(self.tokenize_corpus(item_meta, item2id), cfg,
+                               self.backend.pad_token_id)

@@ -21,7 +21,8 @@ import numpy as np
 _LIB = None
 _LIB_TRIED = False
 
-_SRC = os.path.join(os.path.dirname(__file__), "batcher.cpp")
+_SRCS = [os.path.join(os.path.dirname(__file__), "batcher.cpp"),
+         os.path.join(os.path.dirname(__file__), "tokenizer.cpp")]
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
@@ -30,15 +31,19 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         return _LIB
     _LIB_TRIED = True
     try:
-        with open(_SRC, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        h = hashlib.sha256()
+        for src in _SRCS:
+            with open(src, "rb") as f:
+                h.update(f.read())
+        digest = h.hexdigest()[:16]
         cache_dir = os.path.join(tempfile.gettempdir(), "recformer_tpu_native")
         os.makedirs(cache_dir, exist_ok=True)
         so_path = os.path.join(cache_dir, f"batcher_{digest}.so")
         if not os.path.exists(so_path):
             tmp = so_path + f".tmp{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", tmp],
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC", *_SRCS,
+                 "-o", tmp],
                 check=True, capture_output=True,
             )
             os.replace(tmp, so_path)
@@ -53,6 +58,11 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         lib.pack_item_table.argtypes = [i32p, i32p, i32p, i64p, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_int32,
                                         i32p, i32p, i32p, i32p]
+        lib.tokenize_corpus_hash.argtypes = [
+            u8p, i64p, i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, ctypes.c_int64, i64p]
+        lib.tokenize_corpus_hash.restype = ctypes.c_int64
         _LIB = lib
     except Exception as e:  # no toolchain / build failure -> numpy fallback
         print(f"[native] batcher unavailable ({type(e).__name__}: {e}); "
@@ -150,3 +160,46 @@ def pack_item_table_native(flat_ids, flat_types, flat_begin, offsets,
         _ptr(out_begin, ctypes.c_int32), _ptr(out_lens, ctypes.c_int32),
     )
     return out_ids, out_types, out_begin, out_lens
+
+
+def tokenize_corpus_hash_native(items_attrs, vocab, max_attr_num: int,
+                                max_attr_length: int):
+    """C++ fast path for SimpleVocab corpus tokenization
+    (``native/tokenizer.cpp``): ``items_attrs`` is a list (dense item-id
+    order) of ``[(name, value), ...]`` attribute pairs. Returns the ragged
+    corpus ``(flat_ids, flat_types, flat_begin, offsets)`` or None when the
+    native library is unavailable or the text is not pure ASCII (the C++
+    chunker is byte-based; Python's is code-point-based)."""
+    lib = _build_lib()
+    if lib is None:
+        return None
+    strings = []
+    attr_counts = np.empty(len(items_attrs), np.int32)
+    for i, attrs in enumerate(items_attrs):
+        attr_counts[i] = len(attrs)
+        for name, value in attrs:
+            strings.append(str(name))
+            strings.append(str(value))
+    joined = "".join(strings)
+    if not joined.isascii():
+        return None
+    buf = joined.encode("ascii")
+    offs = np.zeros(len(strings) + 1, np.int64)
+    np.cumsum(np.fromiter((len(s) for s in strings), np.int64, len(strings)),
+              out=offs[1:])
+    cap = int(len(items_attrs)) * max_attr_num * max_attr_length
+    out_ids = np.empty(cap, np.int32)
+    out_types = np.empty(cap, np.int32)
+    out_begin = np.empty(cap, np.int32)
+    out_offsets = np.empty(len(items_attrs) + 1, np.int64)
+    buf_arr = np.frombuffer(buf, np.uint8)
+    total = lib.tokenize_corpus_hash(
+        _ptr(buf_arr, ctypes.c_uint8), _ptr(offs, ctypes.c_int64),
+        _ptr(attr_counts, ctypes.c_int32), len(items_attrs),
+        max_attr_num, max_attr_length,
+        vocab.vocab_size, vocab._reserved, vocab.chunk,
+        _ptr(out_ids, ctypes.c_int32), _ptr(out_types, ctypes.c_int32),
+        _ptr(out_begin, ctypes.c_int32), cap, _ptr(out_offsets, ctypes.c_int64))
+    if total < 0:  # pragma: no cover - cap is an exact upper bound
+        return None
+    return (out_ids[:total], out_types[:total], out_begin[:total], out_offsets)

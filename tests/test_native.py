@@ -109,3 +109,54 @@ def test_multi_host_sharded_batches():
             seen.extend(batch.item_ids[batch.valid, 0].tolist())
     # every user's first item seen exactly once across all processes
     assert sorted(seen) == sorted(s[0] for s in ds.seqs)
+
+
+def test_native_corpus_tokenizer_matches_python():
+    """C++ hash tokenizer (native/tokenizer.cpp) == the Python
+    SimpleVocab/encode_item path bit-for-bit, including per-attribute
+    name+value truncation, max_attr_num drop, multi-chunk words, and items
+    missing from the meta."""
+    from recformer_tpu.config import RecformerConfig
+    from recformer_tpu.data.item_table import ItemTable
+    from recformer_tpu.data.tokenization import RecformerTokenizer
+    from recformer_tpu.data.vocab import SimpleVocab
+    from recformer_tpu.native import native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+
+    cfg = RecformerConfig.tiny(max_attr_num=2, max_attr_length=6)
+    tok = RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
+    meta = {
+        "A": {"title": "a verylongwordindeed bc", "brand": "orchid x",
+              "extra_dropped": "zz"},
+        "B": {"title": "solo"},
+        "C": {"t": "", "u": "tab\tsep  multi   space"},
+        # "D" intentionally absent: dense id 3 has no meta
+    }
+    smap = {"A": 0, "B": 1, "C": 2, "D": 3}
+
+    fast = tok.encode_corpus_table(meta, smap)
+    slow = ItemTable.build(tok.tokenize_corpus(meta, smap), cfg,
+                           tok.backend.pad_token_id)
+    for name in ("token_ids", "token_types", "word_begin", "lengths"):
+        np.testing.assert_array_equal(getattr(fast, name), getattr(slow, name),
+                                      err_msg=name)
+
+
+def test_native_corpus_tokenizer_nonascii_falls_back():
+    from recformer_tpu.config import RecformerConfig
+    from recformer_tpu.data.item_table import ItemTable
+    from recformer_tpu.data.tokenization import RecformerTokenizer
+    from recformer_tpu.data.vocab import SimpleVocab
+
+    cfg = RecformerConfig.tiny()
+    tok = RecformerTokenizer(cfg, SimpleVocab(vocab_size=cfg.vocab_size))
+    meta = {"A": {"title": "café naïve"}}
+    smap = {"A": 0}
+    fast = tok.encode_corpus_table(meta, smap)  # must take the Python path
+    slow = ItemTable.build(tok.tokenize_corpus(meta, smap), cfg,
+                           tok.backend.pad_token_id)
+    np.testing.assert_array_equal(fast.token_ids, slow.token_ids)
