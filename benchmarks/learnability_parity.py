@@ -172,6 +172,12 @@ def main(argv=None):
     ap.add_argument("--workdir", default="/tmp/learnability_parity")
     ap.add_argument("--out", default="docs/artifacts/learnability_parity.json")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--jax_hidden_act", default="gelu",
+                    choices=["gelu", "gelu_tanh"],
+                    help="JAX-side activation; torch side always runs the "
+                         "reference's exact-erf gelu. 'gelu_tanh' turns this "
+                         "harness into the accuracy-neutrality check for the "
+                         "production tanh-GELU default (docs/PERF.md)")
     args = ap.parse_args(argv)
 
     import optax
@@ -209,7 +215,7 @@ def main(argv=None):
     cfg = RecformerConfig.tiny(
         dtype="float32", hidden_dropout_prob=0.0,
         attention_probs_dropout_prob=0.0, attention_impl="chunked",
-        hidden_act="gelu", item_num=n_items,
+        hidden_act=args.jax_hidden_act, item_num=n_items,
         finetune_negative_sample_size=0, max_token_num=128,
         max_item_embeddings=51, item_seq_len=32, temp=0.05)
     tokenizer = make_tokenizer(cfg)
@@ -248,8 +254,9 @@ def main(argv=None):
         jemb = encode_all_items(state.params, jmodel, table, cfg, batch_size=64)
         temb = torch_encode_items(tmodel, table, cfg)
         if epoch == 0:
-            np.testing.assert_allclose(np.asarray(jemb), temb, rtol=2e-3,
-                                       atol=2e-3)
+            tol = 2e-3 if args.jax_hidden_act == "gelu" else 2e-2
+            np.testing.assert_allclose(np.asarray(jemb), temb, rtol=tol,
+                                       atol=tol)
             print("[parity] epoch-0 item embeddings match (identical init)")
         jl_sum = tl_sum = 0.0
         nb = 0
@@ -309,6 +316,7 @@ def main(argv=None):
     results["wall_s"] = time.time() - t0
     print(f"[parity] JAX  : {results['jax']}")
     print(f"[parity] torch: {results['torch']}")
+    results["jax_hidden_act"] = args.jax_hidden_act
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
