@@ -201,3 +201,46 @@ def test_cluster_description_prompt():
 
     p = cluster_description_prompt(2, ["Item A", "Item B"], {"size": 10, "fraction": 0.5})
     assert "Cluster 2" in p and "Item A" in p and "10 users" in p
+
+
+def test_synthetic_transaction_stream(tmp_path):
+    """Generator emits the raw-CSV schema parse_row consumes, with a planted
+    per-card fraud signal at the configured rate, deterministically."""
+    from recformer_tpu.pipelines.synthetic_transactions import generate_stream
+
+    out = tmp_path / "txn"
+    stats = generate_stream(str(out), n_cards=60, test_cards=20,
+                            n_merchants=12, seed=3)
+    assert stats["cards"] == 80 and stats["transactions"] > 300
+    # planted rate ~8%: allow wide tolerance at this scale
+    assert 0 < stats["fraud_cards"] < 0.25 * stats["cards"]
+
+    edges, labels = make_amount_bins()
+    import csv
+
+    from recformer_tpu.pipelines.transactional import parse_row
+
+    with open(out / "txn_train_raw.csv", newline="") as f:
+        rows = [parse_row(r, edges, labels) for r in csv.DictReader(f)]
+    assert all(r is not None for r in rows)
+    fraud_amts = [float(r["amt_bin"].split("-")[0]) for r in rows
+                  if r["is_fraud"] == "1"]
+    clean_amts = [float(r["amt_bin"].split("-")[0]) for r in rows
+                  if r["is_fraud"] == "0"]
+    # the planted signal: fraud bursts live in the high amount bins
+    assert fraud_amts and np.mean(fraud_amts) > 4 * np.mean(clean_amts)
+
+    # determinism: same seed -> identical bytes
+    out2 = tmp_path / "txn2"
+    generate_stream(str(out2), n_cards=60, test_cards=20, n_merchants=12,
+                    seed=3)
+    assert (out / "txn_train_raw.csv").read_bytes() == \
+        (out2 / "txn_train_raw.csv").read_bytes()
+
+    # end-to-end: build_all consumes the CSVs
+    build_all([str(out / "txn_train_raw.csv")],
+              [str(out / "txn_test_raw.csv")], str(tmp_path / "art"),
+              number_items=None)
+    cls = json.load(open(tmp_path / "art" / "classification_data" / "train.json"))
+    flags = [v[1][0] for v in cls.values()]
+    assert set(flags) <= {0, 1} and sum(flags) > 0
