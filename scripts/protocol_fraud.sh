@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# Fraud-track leg of the north-star fallback: the reference's
+# finetune_classification protocol (/root/reference/finetune_classification.py)
+# at realistic scale on the real TPU, on the synthetic transaction stream
+# (recformer_tpu/pipelines/synthetic_transactions.py — planted text-learnable
+# fraud signal) because the Kaggle credit-card CSVs are unreachable
+# (docs/artifacts/download_attempt_round2.txt).
+#
+#   C1: transactional pretrain (per-card sequence corpus, 85/15)
+#   C2: convert -> fraud init
+#   C3: fraud finetune, random init        -> runs/fraudA/.../test_metrics.json
+#   C4: fraud finetune, pretrained init    -> runs/fraudB/.../test_metrics.json
+#
+# Idempotent per stage; do NOT run concurrently with protocol_synthetic.sh
+# (one TPU, 2 host CPUs).
+set -uo pipefail
+cd "$(dirname "$0")/.."
+mkdir -p runs
+PROD="--attention_impl pallas --scan_layers --remat --remat_policy dots_attn"
+
+stamp() { echo "[fraud-protocol $(date +%H:%M:%S)] $*" | tee -a runs/protocol.log; }
+
+if [ ! -f runs/txn/artifacts/smap.json ]; then
+  stamp "generating transaction stream + artifacts"
+  python -m recformer_tpu.pipelines.synthetic_transactions \
+    --out runs/txn --scale paper --build 2>&1 | tee runs/txn_gen.log
+fi
+
+if [ ! -f runs/txn_pretrain/config.json ]; then
+  stamp "C1: transactional pretrain"
+  python -m recformer_tpu.cli.pretrain --data_path runs/txn/artifacts/pretrain_data \
+    --output_dir runs/txn_pretrain $PROD --steps_per_call 4 \
+    --num_train_epochs 8 --warmup_steps 50 --valid_step_interval 200 \
+    2>&1 | tee runs/txn_pretrain.log
+fi
+
+if [ ! -d runs/txn_converted/fraud ]; then
+  stamp "C2: converting transactional pretrain checkpoint"
+  python -m recformer_tpu.cli.convert_ckpt --pretrain_ckpt runs/txn_pretrain/best \
+    --config runs/txn_pretrain/config.json --output_dir runs/txn_converted \
+    2>&1 | tee runs/txn_convert.log
+fi
+
+if [ ! -f runs/fraudA/classification_data/test_metrics.json ]; then
+  stamp "C3: fraud finetune, random init"
+  python -m recformer_tpu.cli.finetune_classification \
+    --data_path runs/txn/artifacts/classification_data \
+    --output_dir runs/fraudA $PROD 2>&1 | tee runs/fraudA.log
+fi
+
+if [ ! -f runs/fraudB/classification_data/test_metrics.json ]; then
+  stamp "C4: fraud finetune, pretrained init"
+  python -m recformer_tpu.cli.finetune_classification \
+    --data_path runs/txn/artifacts/classification_data \
+    --pretrain_ckpt runs/txn_converted/fraud \
+    --output_dir runs/fraudB $PROD 2>&1 | tee runs/fraudB.log
+fi
+stamp "FRAUD PROTOCOL DONE"
