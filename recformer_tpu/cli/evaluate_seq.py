@@ -46,6 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--remat", action="store_true", default=None)
     p.add_argument("--remat_policy", default=None,
                    choices=["full", "save_attention", "dots", "dots_attn"])
+    p.add_argument("--scan_unroll", type=int, default=None,
+                   help="layers per lax.scan iteration (cross-layer fusion vs program size)")
     p.add_argument("--item_embeddings", type=str, default=None,
                    help="precomputed catalog .npy saved by cli.finetune — "
                         "REQUIRED to reproduce a two-stage finetune's test "

@@ -66,6 +66,8 @@ def parse_args(argv=None):
     p.add_argument("--remat", action="store_true", default=None)
     p.add_argument("--remat_policy", default=None,
                    choices=["full", "save_attention", "dots", "dots_attn"])
+    p.add_argument("--scan_unroll", type=int, default=None,
+                   help="layers per lax.scan iteration (cross-layer fusion vs program size)")
     p.add_argument("--steps_per_call", type=int, default=1)
     p.add_argument("--fix_word_embedding", action="store_true",
                    help="freeze the word-embedding table (finetune.py:272-275)")

@@ -93,6 +93,8 @@ def parse_args(argv=None):
     p.add_argument("--remat", action="store_true", default=None)
     p.add_argument("--remat_policy", default=None,
                    choices=["full", "save_attention", "dots", "dots_attn"])
+    p.add_argument("--scan_unroll", type=int, default=None,
+                   help="layers per lax.scan iteration (cross-layer fusion vs program size)")
     p.add_argument("--save_top_k", type=int, default=5)
     p.add_argument("--zero", action="store_true",
                    help="ZeRO-1-style optimizer-state sharding over the data axis")
