@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import time
 
 import jax
@@ -274,6 +275,7 @@ def main(argv=None):
         keep_param_sharding=(parallel_mode == "tp"))
 
     rng = jax.random.PRNGKey(args.seed)
+    preempt = _install_preemption_handler()
     best_acc = -1.0
     os.makedirs(args.output_dir, exist_ok=True)
     topk = TopKCheckpointManager(os.path.join(args.output_dir, "topk"),
@@ -341,6 +343,15 @@ def main(argv=None):
                     if acc > best_acc:
                         best_acc = acc
                         save_params(os.path.join(args.output_dir, "best"), state.params)
+                if preempt["signal"]:
+                    save_train_state(state_dir, state)
+                    save_params(os.path.join(args.output_dir, "last"), state.params)
+                    logger.log(global_step, {"preempted": 1.0})
+                    print(f"[pretrain] preemption checkpoint at step "
+                          f"{global_step} (signal {preempt['signal']}); "
+                          "restart with --resume (the interrupted epoch "
+                          "restarts from its first batch)", flush=True)
+                    return
             acc = _validate(eval_step, state, rng, table, dev_ds, global_batch,
                             args.valid_batches)
             print(f"[pretrain] epoch {epoch} dev accuracy {acc:.4f}")
@@ -352,6 +363,28 @@ def main(argv=None):
             save_train_state(state_dir, state)
     config.save(os.path.join(args.output_dir, "config.json"))
     print(f"[pretrain] done; best dev accuracy {best_acc:.4f}")
+
+
+def _install_preemption_handler():
+    """Failure-recovery: catch SIGTERM/SIGINT (preemption, Ctrl-C) and
+    request a clean checkpoint at the next step boundary instead of dying
+    mid-step. The reference's only resume mechanism is Lightning's
+    ``ckpt_path`` (``lightning_pretrain.py:41,147``) — epoch-granular; here
+    the FULL TrainState (params + optimizer + step) is saved at the signal
+    and ``--resume`` continues from it."""
+    flag = {"signal": 0}
+
+    def handler(signum, frame):
+        flag["signal"] = signum
+        print(f"[pretrain] caught signal {signum}; checkpointing at the next "
+              "step boundary", flush=True)
+
+    for s in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(s, handler)
+        except ValueError:  # pragma: no cover - non-main thread
+            pass
+    return flag
 
 
 def _crossed(interval: int, prev_step: int, step: int) -> bool:

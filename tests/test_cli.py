@@ -276,3 +276,81 @@ def test_pretrain_steps_per_call_validation_fires(artifacts, tmp_path):
     assert len(dev_rows) == 1 and dev_rows[0]["step"] == 6
     # top-k checkpoints were written by that firing (plus epoch ends)
     assert (out / "topk").exists() and any((out / "topk").iterdir())
+
+
+def test_pretrain_preemption_checkpoint(artifacts, tmp_path, monkeypatch):
+    """Failure recovery: a SIGTERM-style preemption checkpoints the FULL
+    TrainState at the next step boundary, exits cleanly, and --resume
+    continues from the saved optimizer step."""
+    import signal as _signal
+
+    from recformer_tpu.cli import pretrain as P
+
+    # the real handler: installs, latches the signal, restores cleanly
+    old_term = _signal.getsignal(_signal.SIGTERM)
+    old_int = _signal.getsignal(_signal.SIGINT)
+    try:
+        flag = P._install_preemption_handler()
+        assert flag["signal"] == 0
+        os.kill(os.getpid(), _signal.SIGTERM)
+        assert flag["signal"] == _signal.SIGTERM
+    finally:
+        _signal.signal(_signal.SIGTERM, old_term)
+        _signal.signal(_signal.SIGINT, old_int)
+
+    root = tmp_path / "pretrain_data"
+    os.makedirs(root)
+    rng = np.random.default_rng(4)
+    seqs = [[int(x) for x in rng.integers(0, 25, size=rng.integers(3, 8))]
+            for _ in range(24)]
+    write_json(seqs, str(root / "train.json"))
+    write_json(seqs[:8], str(root / "dev.json"))
+    for f in ("meta_data.json", "smap.json"):
+        write_json(json.load(open(artifacts / f)), str(root / f))
+
+    class TripAfter(dict):
+        """Reads as un-signalled for the first n step-boundary checks."""
+
+        def __init__(self, n):
+            super().__init__(signal=0)
+            self.reads = 0
+            self.n = n
+
+        def __getitem__(self, k):
+            self.reads += 1
+            return 15 if self.reads > self.n else 0
+
+    monkeypatch.setattr(P, "_install_preemption_handler",
+                        lambda: TripAfter(4))
+    out = tmp_path / "pre_out_preempt"
+    common = [
+        "--data_path", str(root), "--output_dir", str(out),
+        "--model_size", "tiny", "--batch_size", "1",
+        "--gradient_accumulation_steps", "1", "--warmup_steps", "2",
+        "--valid_step_interval", "100",
+    ]
+    # 3 steps/epoch x 4 epochs; the 5th boundary check trips -> stop at step 5
+    P.main(common + ["--num_train_epochs", "4"])
+    assert (out / "state").exists() and (out / "last").exists()
+    rows = [json.loads(l) for l in open(out / "logs" / "metrics.jsonl")]
+    assert any(r.get("preempted") for r in rows)
+    from recformer_tpu.training.checkpoint import restore_train_state
+    from recformer_tpu.training.optimizer import create_optimizer
+    from recformer_tpu.training.steps import TrainState
+    from recformer_tpu.models.heads import RecformerForPretraining
+    from recformer_tpu.config import RecformerConfig
+    from recformer_tpu.cli.common import init_model_params
+
+    cfg = RecformerConfig.tiny(item_num=25)
+    model = RecformerForPretraining(cfg)
+    params = init_model_params(model, cfg, with_mlm=True)
+    tx = create_optimizer(learning_rate=5e-5, warmup_steps=2, total_steps=100)
+    st = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    st = restore_train_state(str(out / "state"), st)
+    assert int(st.step) == 5
+
+    # --resume picks the state up and runs to completion
+    monkeypatch.setattr(P, "_install_preemption_handler",
+                        lambda: {"signal": 0})
+    P.main(common + ["--num_train_epochs", "1", "--resume"])
+    assert (out / "config.json").exists()
