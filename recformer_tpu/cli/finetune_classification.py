@@ -135,16 +135,17 @@ def main(argv=None):
     patience = args.patience
     epoch_metrics = []
     for epoch in range(args.num_train_epochs):
-        losses = []
+        losses = []  # device scalars; ONE host transfer per epoch
         for batch in train_ds.batches(args.batch_size, shuffle=True, seed=epoch):
             state, metrics = step(state, rng, table,
                                   jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens),
                                   jnp.asarray(batch.labels), jnp.asarray(batch.valid))
-            losses.append(float(metrics["loss"]))
+            losses.append(metrics["loss"])
+        epoch_loss = float(np.asarray(jnp.stack(losses)).mean()) if losses else 0.0
         dev = evaluate_fraud(state.params, model, table, val_ds, config,
                              args.eval_batch_size)
-        print(f"[fraud] epoch {epoch} loss {np.mean(losses):.4f} dev {dev}")
-        epoch_metrics.append({"epoch": epoch, "loss": float(np.mean(losses)), **{
+        print(f"[fraud] epoch {epoch} loss {epoch_loss:.4f} dev {dev}")
+        epoch_metrics.append({"epoch": epoch, "loss": epoch_loss, **{
             k: v for k, v in dev.items() if k != "confusion"}})
         if dev["f1"] > best_f1:
             best_f1 = dev["f1"]

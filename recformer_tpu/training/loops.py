@@ -15,7 +15,6 @@ import numpy as np
 
 from ..config import RecformerConfig
 from ..data.datasets import EvalDataset, FraudDataset, SequenceDataset
-from .metrics import AverageMeterSet
 from .steps import (
     make_encode_items_step,
     make_eval_step,
@@ -166,7 +165,9 @@ def evaluate_seqrec_sharded(params, model, table, dataset: EvalDataset, item_emb
 def train_seqrec_epoch(state, step_fn, table, dataset: SequenceDataset, item_embeddings,
                        rng, batch_size: int, epoch: int,
                        multi_step=None, steps_per_call: int = 1) -> Tuple[object, float]:
-    meters = AverageMeterSet()
+    # per-step losses stay device scalars; ONE host transfer per epoch
+    # (a per-step float() is a sync barrier through the axon relay)
+    losses, weights = [], []
     if multi_step is not None and steps_per_call > 1:
         pending_ids, pending_lens = [], []
         for batch in dataset.batches(batch_size, shuffle=True, seed=epoch, drop_last=True):
@@ -178,20 +179,27 @@ def train_seqrec_epoch(state, step_fn, table, dataset: SequenceDataset, item_emb
                     jnp.asarray(np.stack(pending_ids)),
                     jnp.asarray(np.stack(pending_lens)), item_embeddings,
                 )
-                meters.update("loss", float(jnp.mean(trace["loss"])), n=steps_per_call)
+                losses.append(jnp.mean(trace["loss"]))
+                weights.append(steps_per_call)
                 pending_ids, pending_lens = [], []
         for ids, lens in zip(pending_ids, pending_lens):  # tail batches
             state, metrics = step_fn(state, rng, table, jnp.asarray(ids),
                                      jnp.asarray(lens), item_embeddings)
-            meters.update("loss", float(metrics["loss"]))
-        return state, meters.averages().get("loss", 0.0)
-    for batch in dataset.batches(batch_size, shuffle=True, seed=epoch, drop_last=True):
-        state, metrics = step_fn(
-            state, rng, table, jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens),
-            item_embeddings,
-        )
-        meters.update("loss", float(metrics["loss"]))
-    return state, meters.averages().get("loss", 0.0)
+            losses.append(metrics["loss"])
+            weights.append(1)
+    else:
+        for batch in dataset.batches(batch_size, shuffle=True, seed=epoch, drop_last=True):
+            state, metrics = step_fn(
+                state, rng, table, jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens),
+                item_embeddings,
+            )
+            losses.append(metrics["loss"])
+            weights.append(1)
+    if not losses:
+        return state, 0.0
+    vals = np.asarray(jnp.stack(losses), dtype=np.float64)
+    w = np.asarray(weights, dtype=np.float64)
+    return state, float((vals * w).sum() / w.sum())
 
 
 def finetune_two_stage(
