@@ -74,6 +74,9 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_call", type=int, default=1)
     p.add_argument("--fix_word_embedding", action="store_true",
                    help="freeze the word-embedding table (finetune.py:272-275)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run from the rolling "
+                        "per-epoch checkpoint under output_dir")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -119,6 +122,12 @@ def main(argv=None):
         tx = optax.multi_transform({"train": tx, "frozen": optax.set_to_zero()}, label_fn)
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
+    resume_dir = os.path.join(args.output_dir, name, "loop_state")
+    if not args.resume and os.path.exists(os.path.join(resume_dir, "loop.json")):
+        # a stale rolling checkpoint from a prior run must not silently hijack
+        # a fresh launch
+        raise SystemExit(f"{resume_dir} holds an interrupted run; pass "
+                         "--resume to continue it or remove the directory")
     state, item_embeddings, test_metrics = finetune_two_stage(
         state, model, table, config, train_ds, val_ds, test_ds,
         num_epochs=args.num_train_epochs, batch_size=args.batch_size,
@@ -126,6 +135,7 @@ def main(argv=None):
         verbose=args.verbose, rng=jax.random.PRNGKey(args.seed),
         steps_per_call=args.steps_per_call,
         encode_cache=os.path.join(cache_dir, f"item_emb_init_{name}.npz"),
+        resume_dir=resume_dir,
     )
     print(f"Test set: {test_metrics}")
 
@@ -140,6 +150,11 @@ def main(argv=None):
     config.save(os.path.join(out, "config.json"))
     with open(os.path.join(out, "test_metrics.json"), "w") as f:
         json.dump(test_metrics, f, indent=2)
+    # the run completed: drop the rolling checkpoint so a future fresh launch
+    # isn't told to --resume a finished run
+    import shutil
+
+    shutil.rmtree(resume_dir, ignore_errors=True)
     return test_metrics
 
 

@@ -219,6 +219,7 @@ def finetune_two_stage(
     rng: Optional[jax.Array] = None,
     steps_per_call: int = 1,
     encode_cache: Optional[str] = None,
+    resume_dir: Optional[str] = None,
     log=print,
 ) -> Tuple[object, Dict[str, float]]:
     """The reference two-stage schedule (``finetune.py:298-353``):
@@ -237,7 +238,17 @@ def finetune_two_stage(
     with. Re-encoding the catalog at test time from the best params scores
     the sequence encoder against a pairing it was never optimized for and
     collapses test metrics toward the popularity floor (observed -62% on the
-    structured synthetic corpus, round 2)."""
+    structured synthetic corpus, round 2).
+
+    ``resume_dir``: optional directory for rolling per-epoch checkpoints
+    (TrainState + loop position + best snapshot). If it holds a prior run's
+    state, training continues from the first unfinished epoch — protection
+    the reference lacks (its only finetune artifacts are best-model dumps,
+    ``finetune.py:315-319``); multi-hour runs survive preemption or a hung
+    accelerator relay."""
+    import json
+    import os
+
     rng = rng if rng is not None else jax.random.PRNGKey(42)
     step_fn = make_finetune_step(config, model)
     multi_step = None
@@ -253,44 +264,104 @@ def finetune_two_stage(
     best_target = float("-inf")
     best_params = None
     best_item_embeddings = None  # snapshotted WITH the params (see docstring)
-    # the initial (pre-training) encode is the one the reference disk-caches
-    # between launches (finetune.py:277-285); per-epoch re-encodes see fresh
-    # params every time, so caching them would never hit
-    item_embeddings = encode(state.params, cache=encode_cache)
-
+    start_stage, start_epoch = 1, 0
     patience = 5
-    for epoch in range(num_epochs):
-        item_embeddings = encode(state.params)
-        state, loss = train_seqrec_epoch(
-            state, step_fn, table, train_dataset, item_embeddings, rng, batch_size, epoch,
-            multi_step=multi_step, steps_per_call=steps_per_call,
-        )
-        if (epoch + 1) % verbose == 0:
-            dev = evaluate_seqrec(state.params, model, table, val_dataset,
-                                  item_embeddings, config, eval_batch_size)
-            log(f"[stage1] epoch {epoch} loss {loss:.4f} dev {dev}")
-            if dev["NDCG@10"] > best_target:
-                best_target = dev["NDCG@10"]
-                best_params = jax.tree.map(np.asarray, state.params)
-                best_item_embeddings = np.asarray(
-                    item_embeddings.astype(jnp.float32))
-                patience = 5
-            else:
-                patience -= 1
-                if patience == 0:
-                    break
+    loop_meta = os.path.join(resume_dir, "loop.json") if resume_dir else None
+    if loop_meta and os.path.exists(loop_meta):
+        from .checkpoint import restore_params, restore_train_state
 
-    if best_params is not None:
-        state = state.replace(params=jax.tree.map(jnp.asarray, best_params))
-        item_embeddings = jnp.asarray(best_item_embeddings)
-    # stage 2 keeps this catalog FROZEN through training, selection and test
+        with open(loop_meta) as f:
+            meta = json.load(f)
+        state = restore_train_state(os.path.join(resume_dir, "state"), state)
+        best_target = meta["best_target"]
+        patience = meta["patience"]
+        start_stage = meta["stage"]
+        start_epoch = meta["epoch"] + 1
+        if os.path.isdir(os.path.join(resume_dir, "best_params")):
+            best_params = jax.tree.map(
+                np.asarray,
+                restore_params(os.path.join(resume_dir, "best_params")))
+            best_item_embeddings = np.load(
+                os.path.join(resume_dir, "best_emb.npy"))
+        log(f"[finetune] resumed at stage {start_stage} epoch {start_epoch} "
+            f"(best NDCG@10 {best_target:.4f}, patience {patience})")
 
-    patience = 3
-    for epoch in range(num_epochs):
+    def _checkpoint(stage, epoch, improved):
+        """Rolling epoch checkpoint. Written AFTER the epoch's state update
+        (and after the stage-1->2 transition for the stage-2 epoch=-1
+        marker), so a resume restores exactly the position recorded."""
+        if not resume_dir:
+            return
+        from .checkpoint import save_params, save_train_state
+
+        os.makedirs(resume_dir, exist_ok=True)
+        save_train_state(os.path.join(resume_dir, "state"), state)
+        if improved:
+            save_params(os.path.join(resume_dir, "best_params"), best_params)
+            np.save(os.path.join(resume_dir, "best_emb.npy"),
+                    best_item_embeddings)
+        if stage == 2:
+            # the frozen stage-2 catalog (saved once, at the transition)
+            frozen = os.path.join(resume_dir, "frozen_emb.npy")
+            if not os.path.exists(frozen):
+                np.save(frozen,
+                        np.asarray(item_embeddings.astype(jnp.float32)))
+        with open(loop_meta, "w") as f:
+            json.dump({"stage": stage, "epoch": epoch,
+                       "best_target": best_target, "patience": patience,
+                       "emb_dtype": str(item_embeddings.dtype)}, f)
+
+    if start_stage == 1:
+        if start_epoch == 0:
+            # the initial (pre-training) encode is the one the reference
+            # disk-caches between launches (finetune.py:277-285); per-epoch
+            # re-encodes see fresh params every time, so caching them would
+            # never hit
+            item_embeddings = encode(state.params, cache=encode_cache)
+        for epoch in range(start_epoch, num_epochs):
+            item_embeddings = encode(state.params)
+            state, loss = train_seqrec_epoch(
+                state, step_fn, table, train_dataset, item_embeddings, rng, batch_size,
+                epoch, multi_step=multi_step, steps_per_call=steps_per_call,
+            )
+            improved = False
+            if (epoch + 1) % verbose == 0:
+                dev = evaluate_seqrec(state.params, model, table, val_dataset,
+                                      item_embeddings, config, eval_batch_size)
+                log(f"[stage1] epoch {epoch} loss {loss:.4f} dev {dev}")
+                if dev["NDCG@10"] > best_target:
+                    best_target = dev["NDCG@10"]
+                    best_params = jax.tree.map(np.asarray, state.params)
+                    best_item_embeddings = np.asarray(
+                        item_embeddings.astype(jnp.float32))
+                    patience = 5
+                    improved = True
+                else:
+                    patience -= 1
+            _checkpoint(1, epoch, improved)
+            if patience == 0:
+                break
+
+        if best_params is not None:
+            state = state.replace(params=jax.tree.map(jnp.asarray, best_params))
+            item_embeddings = jnp.asarray(best_item_embeddings)
+        # stage 2 keeps this catalog FROZEN through training, selection, test
+        patience = 3
+        start_epoch = 0
+        _checkpoint(2, -1, improved=False)  # the post-transition marker
+    else:
+        with open(loop_meta) as f:
+            meta = json.load(f)
+        item_embeddings = jnp.asarray(
+            np.load(os.path.join(resume_dir, "frozen_emb.npy"))
+        ).astype(meta.get("emb_dtype", "float32"))
+
+    for epoch in range(start_epoch, num_epochs):
         state, loss = train_seqrec_epoch(
             state, step_fn, table, train_dataset, item_embeddings, rng, batch_size,
             num_epochs + epoch, multi_step=multi_step, steps_per_call=steps_per_call,
         )
+        improved = False
         if (epoch + 1) % verbose == 0:
             dev = evaluate_seqrec(state.params, model, table, val_dataset,
                                   item_embeddings, config, eval_batch_size)
@@ -301,10 +372,12 @@ def finetune_two_stage(
                 best_item_embeddings = np.asarray(
                     item_embeddings.astype(jnp.float32))
                 patience = 3
+                improved = True
             else:
                 patience -= 1
-                if patience == 0:
-                    break
+        _checkpoint(2, epoch, improved)
+        if patience == 0:
+            break
 
     if best_params is not None:
         state = state.replace(params=jax.tree.map(jnp.asarray, best_params))

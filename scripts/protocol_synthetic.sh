@@ -30,8 +30,9 @@ fi
 #    lr 5e-5, 16 epochs/stage, eval every 3, patience 5/3)
 if [ ! -f runs/ftA/finetune/test_metrics.json ]; then
   stamp "run A: two-stage finetune, random init"
+  RESUME=""; [ -f runs/ftA/finetune/loop_state/loop.json ] && RESUME=--resume
   python -m recformer_tpu.cli.finetune --data_path runs/synth/finetune \
-    --output_dir runs/ftA $PROD 2>&1 | tee runs/ftA.log
+    --output_dir runs/ftA $PROD $RESUME 2>&1 | tee -a runs/ftA.log
 fi
 stamp "run A done: $(cat runs/ftA/finetune/test_metrics.json 2>/dev/null)"
 
@@ -39,8 +40,9 @@ stamp "run A done: $(cat runs/ftA/finetune/test_metrics.json 2>/dev/null)"
 #     2k optimizer steps at eff. batch 64 — enough to measure transfer)
 if [ ! -f runs/pretrain/config.json ]; then
   stamp "run B: pretraining"
+  PRESUME=""; [ -d runs/pretrain/state ] && PRESUME=--resume
   python -m recformer_tpu.cli.pretrain --data_path runs/synth/pretrain \
-    --output_dir runs/pretrain $PROD --steps_per_call 8 \
+    --output_dir runs/pretrain $PROD --steps_per_call 8 $PRESUME \
     --num_train_epochs 8 --warmup_steps 200 --valid_step_interval 1000 \
     2>&1 | tee runs/pretrain.log
 fi
@@ -65,9 +67,10 @@ fi
 # B4. two-stage finetune from the pretrained init
 if [ ! -f runs/ftB/finetune/test_metrics.json ]; then
   stamp "run B: two-stage finetune from pretrain"
+  RESUME=""; [ -f runs/ftB/finetune/loop_state/loop.json ] && RESUME=--resume
   python -m recformer_tpu.cli.finetune --data_path runs/synth/finetune \
-    --output_dir runs/ftB --pretrain_ckpt runs/converted/seqrec $PROD \
-    2>&1 | tee runs/ftB.log
+    --output_dir runs/ftB --pretrain_ckpt runs/converted/seqrec $PROD $RESUME \
+    2>&1 | tee -a runs/ftB.log
 fi
 stamp "run B done: $(cat runs/ftB/finetune/test_metrics.json 2>/dev/null)"
 stamp "ALL DONE"

@@ -364,3 +364,54 @@ def test_encode_all_items_disk_cache(world, tmp_path):
     # and the cache now holds the new params' result
     emb4 = encode_all_items(params2, model, table, cfg, 8, cache_path=cache)
     np.testing.assert_array_equal(np.asarray(emb3), np.asarray(emb4))
+
+
+def test_two_stage_finetune_resume_equivalence(world, tmp_path):
+    """Interrupt the two-stage loop mid-stage-2, resume from the rolling
+    checkpoint, and get bit-identical test metrics to an uninterrupted run
+    (epoch replay is deterministic: per-epoch shuffles are seed(epoch), the
+    step rng folds in state.step)."""
+    cfg, table, user2train, user2val, user2test, n_items = world
+    model = RecformerForSeqRec(cfg)
+    dummy = {
+        k: jnp.zeros((1, cfg.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+
+    def fresh_state():
+        params = model.init(jax.random.PRNGKey(0), dummy)
+        tx = create_optimizer(learning_rate=1e-3, warmup_steps=2,
+                              total_steps=200)
+        return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    train_ds = SequenceDataset(user2train, max_items=16)
+    val_ds = EvalDataset(user2train, user2val, user2test, "val", max_items=16)
+    test_ds = EvalDataset(user2train, user2val, user2test, "test", max_items=16)
+    kw = dict(num_epochs=2, batch_size=8, eval_batch_size=8,
+              encode_batch_size=8, verbose=1)
+
+    _, _, ref = finetune_two_stage(
+        fresh_state(), model, table, cfg, train_ds, val_ds, test_ds,
+        log=lambda *a: None, **kw)
+
+    class Interrupt(Exception):
+        pass
+
+    def interrupting_log(msg):
+        if "[stage2]" in str(msg):
+            raise Interrupt  # die mid-stage-2, before that epoch checkpoints
+
+    rdir = str(tmp_path / "loop_state")
+    with pytest.raises(Interrupt):
+        finetune_two_stage(
+            fresh_state(), model, table, cfg, train_ds, val_ds, test_ds,
+            resume_dir=rdir, log=interrupting_log, **kw)
+    assert os.path.exists(os.path.join(rdir, "loop.json"))
+
+    logs = []
+    _, _, resumed = finetune_two_stage(
+        fresh_state(), model, table, cfg, train_ds, val_ds, test_ds,
+        resume_dir=rdir, log=logs.append, **kw)
+    assert any("resumed at stage 2" in str(m) for m in logs)
+    assert resumed == ref
