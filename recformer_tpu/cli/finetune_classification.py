@@ -72,6 +72,9 @@ def parse_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--warmup_steps", type=int, default=100)
     p.add_argument("--patience", type=int, default=3)
+    p.add_argument("--resume", action="store_true",
+                   help="continue an interrupted run from the rolling "
+                        "per-epoch checkpoint under output_dir")
     p.add_argument("--attention_impl", choices=["dense", "chunked", "pallas"], default=None)
     p.add_argument("--hidden_act", choices=["gelu", "gelu_tanh", "relu"], default=None,
                    help="override activation: 'gelu' (exact erf) restores HF parity "
@@ -137,7 +140,29 @@ def main(argv=None):
     best_params = None
     patience = args.patience
     epoch_metrics = []
-    for epoch in range(args.num_train_epochs):
+    start_epoch = 0
+    # epoch-granular rolling resume (same scheme as finetune_two_stage)
+    resume_dir = os.path.join(args.output_dir, name, "loop_state")
+    loop_meta = os.path.join(resume_dir, "loop.json")
+    if os.path.exists(loop_meta):
+        if not args.resume:
+            raise SystemExit(f"{resume_dir} holds an interrupted run; pass "
+                             "--resume to continue it or remove the directory")
+        from ..training.checkpoint import restore_params, restore_train_state
+
+        with open(loop_meta) as f:
+            meta = json.load(f)
+        state = restore_train_state(os.path.join(resume_dir, "state"), state)
+        best_f1, patience = meta["best_f1"], meta["patience"]
+        start_epoch = meta["epoch"] + 1
+        epoch_metrics = meta["epoch_metrics"]
+        if os.path.isdir(os.path.join(resume_dir, "best_params")):
+            best_params = jax.tree.map(
+                np.asarray, restore_params(os.path.join(resume_dir, "best_params")))
+        print(f"[fraud] resumed at epoch {start_epoch} "
+              f"(best F1 {best_f1:.4f}, patience {patience})")
+
+    for epoch in range(start_epoch, args.num_train_epochs):
         losses = []  # device scalars; ONE host transfer per epoch
         for batch in train_ds.batches(args.batch_size, shuffle=True, seed=epoch):
             state, metrics = step(state, rng, table,
@@ -150,14 +175,25 @@ def main(argv=None):
         print(f"[fraud] epoch {epoch} loss {epoch_loss:.4f} dev {dev}")
         epoch_metrics.append({"epoch": epoch, "loss": epoch_loss, **{
             k: v for k, v in dev.items() if k != "confusion"}})
-        if dev["f1"] > best_f1:
+        improved = dev["f1"] > best_f1
+        if improved:
             best_f1 = dev["f1"]
             best_params = jax.tree.map(np.asarray, state.params)
             patience = args.patience
         else:
             patience -= 1
-            if patience == 0:
-                break
+        from ..training.checkpoint import save_train_state
+
+        os.makedirs(resume_dir, exist_ok=True)
+        save_train_state(os.path.join(resume_dir, "state"), state)
+        if improved:
+            save_params(os.path.join(resume_dir, "best_params"), best_params)
+        with open(loop_meta, "w") as f:
+            json.dump({"epoch": epoch, "best_f1": best_f1,
+                       "patience": patience,
+                       "epoch_metrics": epoch_metrics}, f, default=str)
+        if patience == 0:
+            break
 
     if best_params is not None:
         state = state.replace(params=jax.tree.map(jnp.asarray, best_params))
@@ -173,6 +209,10 @@ def main(argv=None):
         json.dump(test_metrics, f, indent=2, default=str)
     with open(os.path.join(out, "epoch_metrics.json"), "w") as f:
         json.dump(epoch_metrics, f, indent=2)
+    # completed: drop the rolling checkpoint
+    import shutil
+
+    shutil.rmtree(resume_dir, ignore_errors=True)
     return test_metrics
 
 

@@ -43,16 +43,18 @@ fi
 
 if [ ! -f runs/fraudA/classification_data/test_metrics.json ]; then
   stamp "C3: fraud finetune, random init"
+  R=""; [ -f runs/fraudA/classification_data/loop_state/loop.json ] && R=--resume
   python -m recformer_tpu.cli.finetune_classification \
     --data_path runs/txn/artifacts/classification_data \
-    --output_dir runs/fraudA $PROD 2>&1 | tee runs/fraudA.log
+    --output_dir runs/fraudA $PROD $R 2>&1 | tee -a runs/fraudA.log
 fi
 
 if [ ! -f runs/fraudB/classification_data/test_metrics.json ]; then
   stamp "C4: fraud finetune, pretrained init"
+  R=""; [ -f runs/fraudB/classification_data/loop_state/loop.json ] && R=--resume
   python -m recformer_tpu.cli.finetune_classification \
     --data_path runs/txn/artifacts/classification_data \
     --pretrain_ckpt runs/txn_converted/fraud \
-    --output_dir runs/fraudB $PROD 2>&1 | tee runs/fraudB.log
+    --output_dir runs/fraudB $PROD $R 2>&1 | tee -a runs/fraudB.log
 fi
 stamp "FRAUD PROTOCOL DONE"

@@ -354,3 +354,51 @@ def test_pretrain_preemption_checkpoint(artifacts, tmp_path, monkeypatch):
                         lambda: {"signal": 0})
     P.main(common + ["--num_train_epochs", "1", "--resume"])
     assert (out / "config.json").exists()
+
+
+def test_fraud_driver_resume(artifacts, tmp_path, monkeypatch):
+    """Interrupt the fraud finetune after its first epoch checkpoint, resume
+    with --resume, and get the same test metrics as an uninterrupted run."""
+    from recformer_tpu.cli import finetune_classification as F
+
+    rng = np.random.default_rng(7)
+    root = tmp_path / "fraud_data"
+    os.makedirs(root)
+    for name in ("train.json", "val.json", "test.json"):
+        data = {}
+        for u in range(12):
+            seq = [int(x) for x in rng.integers(0, 25, size=rng.integers(3, 7))]
+            data[u] = [seq, [int(rng.random() < 0.3)]]
+        write_json(data, str(root / name))
+    for f in ("meta_data.json", "smap.json"):
+        write_json(json.load(open(artifacts / f)), str(root / f))
+
+    common = ["--data_path", str(root), "--model_size", "tiny",
+              "--num_train_epochs", "2", "--batch_size", "8",
+              "--eval_batch_size", "8"]
+
+    ref = F.main(common + ["--output_dir", str(tmp_path / "ref_out")])
+
+    real_eval = F.evaluate_fraud
+    calls = {"n": 0}
+
+    def failing_eval(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:  # epoch-1 dev eval: die after epoch 0 checkpointed
+            raise RuntimeError("simulated preemption")
+        return real_eval(*a, **kw)
+
+    out = tmp_path / "resume_out"
+    monkeypatch.setattr(F, "evaluate_fraud", failing_eval)
+    with pytest.raises(RuntimeError):
+        F.main(common + ["--output_dir", str(out)])
+    name = os.path.basename(str(root))
+    assert (out / name / "loop_state" / "loop.json").exists()
+
+    monkeypatch.setattr(F, "evaluate_fraud", real_eval)
+    # fresh launch without --resume must refuse
+    with pytest.raises(SystemExit):
+        F.main(common + ["--output_dir", str(out)])
+    resumed = F.main(common + ["--output_dir", str(out), "--resume"])
+    assert resumed == ref
+    assert not (out / name / "loop_state").exists()  # cleaned on completion
