@@ -28,10 +28,14 @@ fi
 
 if [ ! -f runs/txn_pretrain/config.json ]; then
   stamp "C1: transactional pretrain"
+  PRESUME=""; [ -d runs/txn_pretrain/state ] && PRESUME=--resume
+  # steps_per_call 16: the axon relay costs ~1.8s of host dispatch per device
+  # call (measured on run B: 63.9 ex/s in-call vs ~23 ex/s wall at 8
+  # steps/call) — longer scan calls amortize it
   python -m recformer_tpu.cli.pretrain --data_path runs/txn/artifacts/pretrain_data \
-    --output_dir runs/txn_pretrain $PROD --steps_per_call 4 \
+    --output_dir runs/txn_pretrain $PROD --steps_per_call 16 $PRESUME \
     --num_train_epochs 8 --warmup_steps 50 --valid_step_interval 200 \
-    2>&1 | tee runs/txn_pretrain.log
+    2>&1 | tee -a runs/txn_pretrain.log
 fi
 
 if [ ! -d runs/txn_converted/fraud ]; then
