@@ -66,6 +66,8 @@ def parse_args(argv=None):
     p.add_argument("--remat", action="store_true", default=None)
     p.add_argument("--remat_policy", default=None,
                    choices=["full", "save_attention", "dots", "dots_attn"])
+    p.add_argument("--pooler_type", choices=["cls", "avg"], default=None,
+                   help="sequence pooling: CLS token (default) or masked mean")
     p.add_argument("--max_token_num", type=int, default=None,
                    help="max sequence length in tokens (reference README: 512/256 "
                         "trade little accuracy for speed vs the 1024 default)")

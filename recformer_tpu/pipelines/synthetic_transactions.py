@@ -86,8 +86,12 @@ def generate_stream(out_dir: str, n_cards: int = 3000, test_cards: int = 800,
                     hours=float(rng.uniform(0, 5)),
                     minutes=float(rng.integers(0, 60)))
                 m = int(fraud_pool[rng.integers(len(fraud_pool))])
-                amt = float(np.clip(rng.lognormal(np.log(900), 0.5),
-                                    300.0, 9999.0))
+                # amounts clearly outside legit reach: legit draws are
+                # lognormal(mu<=log 180, 0.6) whose +3 sigma tail is ~$1090,
+                # so the $1200+ bins occur only in bursts — the separating
+                # feature is textual (amount-bin token), as intended
+                amt = float(np.clip(rng.lognormal(np.log(3000), 0.4),
+                                    1200.0, 9999.0))
                 rows.append((ts, amt, merchants[m], 1))
         rows.sort(key=lambda r: r[0])
         return rows, is_fraud_card

@@ -16,7 +16,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p runs
-PROD="--attention_impl pallas --scan_layers --remat --remat_policy dots_attn"
+PROD="--attention_impl pallas --scan_layers --remat --remat_policy dots_attn --pooler_type avg"
 
 stamp() { echo "[fraud-protocol $(date +%H:%M:%S)] $*" | tee -a runs/protocol.log; }
 
@@ -50,7 +50,8 @@ if [ ! -f runs/fraudA/classification_data/test_metrics.json ]; then
   R=""; [ -f runs/fraudA/classification_data/loop_state/loop.json ] && R=--resume
   python -m recformer_tpu.cli.finetune_classification \
     --data_path runs/txn/artifacts/classification_data \
-    --output_dir runs/fraudA $PROD $R 2>&1 | tee -a runs/fraudA.log
+    --output_dir runs/fraudA $PROD $R --learning_rate 1e-3 \
+    --num_train_epochs 12 --patience 4 2>&1 | tee -a runs/fraudA.log
 fi
 
 if [ ! -f runs/fraudB/classification_data/test_metrics.json ]; then
@@ -59,6 +60,7 @@ if [ ! -f runs/fraudB/classification_data/test_metrics.json ]; then
   python -m recformer_tpu.cli.finetune_classification \
     --data_path runs/txn/artifacts/classification_data \
     --pretrain_ckpt runs/txn_converted/fraud \
-    --output_dir runs/fraudB $PROD $R 2>&1 | tee -a runs/fraudB.log
+    --output_dir runs/fraudB $PROD $R \
+    --num_train_epochs 12 --patience 4 2>&1 | tee -a runs/fraudB.log
 fi
 stamp "FRAUD PROTOCOL DONE"
