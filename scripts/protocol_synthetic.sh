@@ -37,12 +37,14 @@ fi
 stamp "run A done: $(cat runs/ftA/finetune/test_metrics.json 2>/dev/null)"
 
 # B1. pretrain on the DISJOINT item universe (canonical recipe; 8 epochs =
-#     2k optimizer steps at eff. batch 64 — enough to measure transfer)
+#     2k optimizer steps at eff. batch 64 — enough to measure transfer).
+#     steps_per_call 16: the axon relay costs ~1.8s host dispatch per device
+#     call (measured: 63.9 ex/s in-call vs ~23 ex/s wall at 8 steps/call).
 if [ ! -f runs/pretrain/config.json ]; then
   stamp "run B: pretraining"
   PRESUME=""; [ -d runs/pretrain/state ] && PRESUME=--resume
   python -m recformer_tpu.cli.pretrain --data_path runs/synth/pretrain \
-    --output_dir runs/pretrain $PROD --steps_per_call 8 $PRESUME \
+    --output_dir runs/pretrain $PROD --steps_per_call 16 $PRESUME \
     --num_train_epochs 8 --warmup_steps 200 --valid_step_interval 1000 \
     2>&1 | tee runs/pretrain.log
 fi
