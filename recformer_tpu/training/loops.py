@@ -16,6 +16,7 @@ import numpy as np
 from ..config import RecformerConfig
 from ..data.datasets import EvalDataset, FraudDataset, SequenceDataset
 from .steps import (
+    make_encode_items_scan,
     make_encode_items_step,
     make_eval_step,
     make_finetune_step,
@@ -62,12 +63,19 @@ def encode_all_items(params, model, table, config: RecformerConfig,
                  dtype=str(emb.dtype), fingerprint=fp,
                  n_items=np.asarray(emb).shape[0])
         return emb
-    step = make_encode_items_step(config, model, backbone_method)
     n = int(table["lengths"].shape[0]) - 1
-    out = []
     pad_to = ((n + batch_size - 1) // batch_size) * batch_size
     ids = np.arange(pad_to, dtype=np.int32)
     ids[n:] = 0  # pad chunk with item 0; trimmed below
+    nb = pad_to // batch_size
+    if nb > 1:
+        # whole catalog in ONE device call (relay dispatch amortization —
+        # the per-chunk loop pays ~1.8 s host dispatch per chunk)
+        scan_step = make_encode_items_scan(config, model, backbone_method)
+        out2d = scan_step(params, table, jnp.asarray(ids.reshape(nb, batch_size)))
+        return out2d.reshape(pad_to, out2d.shape[-1])[:n]
+    step = make_encode_items_step(config, model, backbone_method)
+    out = []
     for c in range(0, pad_to, batch_size):
         chunk = jnp.asarray(ids[c : c + batch_size])
         out.append(step(params, table, chunk))

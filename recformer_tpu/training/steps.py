@@ -318,6 +318,40 @@ def make_encode_items_step(config: RecformerConfig, model,
     return _jit(step, mesh, in_shardings=(rep, rep, data), out_shardings=data)
 
 
+def make_encode_items_scan(config: RecformerConfig, model,
+                           backbone_method: Optional[Callable] = None,
+                           mesh: Optional[Mesh] = None):
+    """Whole-catalog encode in ONE device call: ``lax.scan`` over ``(nb, C)``
+    id chunks -> ``(nb, C, H)`` pooled embeddings. Math-identical to calling
+    :func:`make_encode_items_step` per chunk, but pays host dispatch once per
+    catalog instead of once per chunk (through the axon relay a dispatch costs
+    ~1.8 s host-side; the reference's encode loop, ``finetune.py:38-63``, pays
+    it per chunk). Peak memory is one chunk's activations + the stacked
+    ``(nb, C, H)`` output."""
+
+    def chunk_fn(params, table, id_chunk):
+        ids = id_chunk[:, None]
+        lens = jnp.ones_like(id_chunk)
+        batch = assemble_for_config(table, ids, lens, config, out_len=config.item_seq_len)
+        return model.apply(params, batch, deterministic=True, method=backbone_method)
+
+    def step(params, table, ids2d):
+        def body(carry, id_chunk):
+            return carry, chunk_fn(params, table, id_chunk)
+
+        _, out = jax.lax.scan(body, None, ids2d)
+        return out
+
+    if mesh is None:
+        return jax.jit(step)
+    rep, data, _ = _shardings(mesh)
+    from ..parallel.mesh import DATA_AXIS
+
+    d2 = (NamedSharding(mesh, P(None, DATA_AXIS))
+          if DATA_AXIS in mesh.shape else rep)
+    return jax.jit(step, in_shardings=(rep, rep, d2), out_shardings=d2)
+
+
 # ---------------------------------------------------------------------------
 # Fraud classification
 # ---------------------------------------------------------------------------

@@ -112,6 +112,27 @@ def test_encode_all_items_shapes(world):
     assert np.isfinite(np.asarray(emb)).all()
 
 
+def test_encode_all_items_scan_matches_per_chunk(world):
+    # nb>1 takes the one-call lax.scan path; a batch size covering the whole
+    # catalog (nb==1) takes the per-chunk path — identical embeddings
+    cfg, table, *_, n_items = world
+    model = RecformerForSeqRec(cfg)
+    dummy = {
+        "input_ids": jnp.ones((1, cfg.item_seq_len), jnp.int32),
+        "attention_mask": jnp.ones((1, cfg.item_seq_len), jnp.int32),
+        "global_attention_mask": jnp.zeros((1, cfg.item_seq_len), jnp.int32).at[:, 0].set(1),
+        "token_type_ids": jnp.zeros((1, cfg.item_seq_len), jnp.int32),
+        "item_position_ids": jnp.zeros((1, cfg.item_seq_len), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    scan_emb = encode_all_items(params, model, table, cfg, batch_size=8)
+    one_call = encode_all_items(params, model, table, cfg, batch_size=n_items)
+    assert scan_emb.shape == one_call.shape == (n_items, cfg.hidden_size)
+    np.testing.assert_allclose(np.asarray(scan_emb, np.float32),
+                               np.asarray(one_call, np.float32),
+                               rtol=0, atol=1e-6)
+
+
 def test_two_stage_finetune_end_to_end(world):
     cfg, table, user2train, user2val, user2test, n_items = world
     model = RecformerForSeqRec(cfg)
