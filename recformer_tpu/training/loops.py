@@ -18,8 +18,10 @@ from ..data.datasets import EvalDataset, FraudDataset, SequenceDataset
 from .steps import (
     make_encode_items_scan,
     make_encode_items_step,
+    make_eval_scan,
     make_eval_step,
     make_finetune_step,
+    make_fraud_eval_scan,
     make_fraud_eval_step,
 )
 
@@ -82,35 +84,63 @@ def encode_all_items(params, model, table, config: RecformerConfig,
     return jnp.concatenate(out, axis=0)[:n]
 
 
+def _scan_groups(batches, scan_chunk):
+    """Split batches into fixed-size groups for scanned eval. Full groups are
+    exactly ``scan_chunk`` long and the tail is padded with all-invalid copies
+    of the first batch, so every group hits ONE compiled shape; a dataset
+    smaller than one chunk forms a single unpadded group."""
+    nb = len(batches)
+    if nb <= scan_chunk:
+        return [(batches, 0)]
+    return [(batches[g0 : g0 + scan_chunk],
+             max(0, g0 + scan_chunk - nb))
+            for g0 in range(0, nb, scan_chunk)]
+
+
+def _stack_field(group, pad, field):
+    arrs = [getattr(b, field) for b in group]
+    if pad:
+        # filler batches: copies of batch 0 with valid=0 everywhere -> their
+        # metric/prob contributions are exactly zero-weighted
+        filler = np.zeros_like(arrs[0]) if field == "valid" else arrs[0]
+        arrs = arrs + [filler] * pad
+    return jnp.asarray(np.stack(arrs))
+
+
 def evaluate_seqrec(params, model, table, dataset: EvalDataset, item_embeddings,
                     config: RecformerConfig, batch_size: int = 32,
-                    ks: Sequence[int] = (10, 50)) -> Dict[str, float]:
+                    ks: Sequence[int] = (10, 50), scan_chunk: int = 32,
+                    log=None) -> Dict[str, float]:
     """Full-catalog ranked evaluation; exact (sum/count) aggregation."""
-    step = make_eval_step(config, model, ks=ks)
     batches = list(dataset.batches(batch_size))
     if not batches:
         return {}
     if len(batches) > 1:
-        # all eval batches in ONE device call (eval batches are shape-uniform,
-        # tail rows masked by `valid`): lax.scan over the stacked batch axis,
-        # per-batch sums reduced on device. The per-batch loop paid ~1.8 s of
-        # axon-relay host dispatch per batch — ~10 min per full eval at paper
-        # scale (11k users / 32).
-        ids = jnp.asarray(np.stack([b.item_ids for b in batches]))
-        lens = jnp.asarray(np.stack([b.seq_lens for b in batches]))
-        labels = jnp.asarray(np.stack([b.labels for b in batches]))
-        valid = jnp.asarray(np.stack([b.valid for b in batches]))
-
-        @jax.jit
-        def run(params, table, ids, lens, labels, valid, item_embeddings):
-            def body(carry, xs):
-                return carry, step(params, table, *xs, item_embeddings)
-
-            _, outs = jax.lax.scan(body, None, (ids, lens, labels, valid))
-            return jax.tree.map(lambda a: jnp.sum(a, axis=0), outs)
-
-        totals = run(params, table, ids, lens, labels, valid, item_embeddings)
+        # Eval batches are shape-uniform (tail rows masked by `valid`), so
+        # groups of `scan_chunk` batches run as ONE device call each:
+        # lax.scan over the stacked batch axis, per-batch sums reduced on
+        # device, group partials accumulated on device, one host transfer at
+        # the end. A per-batch loop paid ~1.8 s of axon-relay host dispatch
+        # per batch (~10 min per full eval at paper scale, 11k users / 32);
+        # one monolithic scan call was unobservable through documented ~1h
+        # relay hangs — chunked groups keep the amortization while giving
+        # coarse progress and interruptibility (advisor r2). The scan wrapper
+        # is memoized in steps.py so per-epoch evals don't re-trace.
+        run = make_eval_scan(config, model, ks=ks)
+        totals = None
+        groups = _scan_groups(batches, scan_chunk)
+        for gi, (group, pad) in enumerate(groups):
+            out = run(params, table,
+                      _stack_field(group, pad, "item_ids"),
+                      _stack_field(group, pad, "seq_lens"),
+                      _stack_field(group, pad, "labels"),
+                      _stack_field(group, pad, "valid"),
+                      item_embeddings)
+            totals = out if totals is None else jax.tree.map(jnp.add, totals, out)
+            if log is not None and len(groups) > 1:
+                log(f"[eval] group {gi + 1}/{len(groups)} dispatched")
     else:
+        step = make_eval_step(config, model, ks=ks)
         # accumulate on device; a single host transfer at the end (per-batch
         # float() would cost one relay round-trip each)
         totals = None
@@ -472,28 +502,27 @@ def roc_auc(probs: np.ndarray, labels: np.ndarray) -> float:
 
 def evaluate_fraud(params, model, table, dataset: FraudDataset, config: RecformerConfig,
                    batch_size: int = 32,
-                   thresholds: Sequence[float] = tuple(np.arange(0.1, 0.91, 0.1))) -> Dict:
+                   thresholds: Sequence[float] = tuple(np.arange(0.1, 0.91, 0.1)),
+                   scan_chunk: int = 32) -> Dict:
     """Threshold sweep maximizing F1 (``finetune_classification.py:140-208``)."""
-    step = make_fraud_eval_step(config, model)
     batches = list(dataset.batches(batch_size))
     if len(batches) > 1:
-        # one device call for the whole eval set (relay dispatch amortization;
-        # see evaluate_seqrec) — probs come back as one (nb, B) transfer
-        ids = jnp.asarray(np.stack([b.item_ids for b in batches]))
-        lens = jnp.asarray(np.stack([b.seq_lens for b in batches]))
-
-        @jax.jit
-        def run(params, table, ids, lens):
-            def body(carry, xs):
-                return carry, step(params, table, *xs)
-
-            _, out = jax.lax.scan(body, None, (ids, lens))
-            return out
-
-        probs2d = np.asarray(run(params, table, ids, lens))
-        probs = np.concatenate([p[b.valid] for p, b in zip(probs2d, batches)])
-        labels = np.concatenate([b.labels[b.valid] for b in batches])
+        # groups of scan_chunk batches per device call (relay dispatch
+        # amortization + coarse progress; see evaluate_seqrec) — probs come
+        # back as one (chunk, B) transfer per group; the scan wrapper is
+        # memoized in steps.py
+        run = make_fraud_eval_scan(config, model)
+        all_probs, all_labels = [], []
+        for group, pad in _scan_groups(batches, scan_chunk):
+            probs2d = np.asarray(run(params, table,
+                                     _stack_field(group, pad, "item_ids"),
+                                     _stack_field(group, pad, "seq_lens")))
+            all_probs.extend(p[b.valid] for p, b in zip(probs2d, group))
+            all_labels.extend(b.labels[b.valid] for b in group)
+        probs = np.concatenate(all_probs)
+        labels = np.concatenate(all_labels)
     else:
+        step = make_fraud_eval_step(config, model)
         all_probs, all_labels = [], []
         for batch in batches:
             probs = step(params, table, jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens))

@@ -15,7 +15,7 @@ at ``models.py:475-490``).
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -318,9 +318,25 @@ def make_encode_items_step(config: RecformerConfig, model,
     return _jit(step, mesh, in_shardings=(rep, rep, data), out_shardings=data)
 
 
+# Jitted scan wrappers are memoized per (factory, model, config, extras):
+# the eval/encode entry points in loops.py are called once per epoch, and
+# rebuilding the wrapper each call re-traced the full scanned model host-side
+# every time (advisor r2 — the persistent compile cache hid the recompiles
+# but not the trace/lower cost). The model object is pinned inside the cache
+# value so its id() cannot be recycled onto a different module.
+_SCAN_CACHE: Dict[tuple, tuple] = {}
+
+
+def _memo_scan(key, model, build):
+    entry = _SCAN_CACHE.get(key)
+    if entry is None:
+        entry = (model, build())
+        _SCAN_CACHE[key] = entry
+    return entry[1]
+
+
 def make_encode_items_scan(config: RecformerConfig, model,
-                           backbone_method: Optional[Callable] = None,
-                           mesh: Optional[Mesh] = None):
+                           backbone_method: Optional[Callable] = None):
     """Whole-catalog encode in ONE device call: ``lax.scan`` over ``(nb, C)``
     id chunks -> ``(nb, C, H)`` pooled embeddings. Math-identical to calling
     :func:`make_encode_items_step` per chunk, but pays host dispatch once per
@@ -329,27 +345,68 @@ def make_encode_items_scan(config: RecformerConfig, model,
     it per chunk). Peak memory is one chunk's activations + the stacked
     ``(nb, C, H)`` output."""
 
-    def chunk_fn(params, table, id_chunk):
-        ids = id_chunk[:, None]
-        lens = jnp.ones_like(id_chunk)
-        batch = assemble_for_config(table, ids, lens, config, out_len=config.item_seq_len)
-        return model.apply(params, batch, deterministic=True, method=backbone_method)
+    def build():
+        def chunk_fn(params, table, id_chunk):
+            ids = id_chunk[:, None]
+            lens = jnp.ones_like(id_chunk)
+            batch = assemble_for_config(table, ids, lens, config,
+                                        out_len=config.item_seq_len)
+            return model.apply(params, batch, deterministic=True,
+                               method=backbone_method)
 
-    def step(params, table, ids2d):
-        def body(carry, id_chunk):
-            return carry, chunk_fn(params, table, id_chunk)
+        def step(params, table, ids2d):
+            def body(carry, id_chunk):
+                return carry, chunk_fn(params, table, id_chunk)
 
-        _, out = jax.lax.scan(body, None, ids2d)
-        return out
+            _, out = jax.lax.scan(body, None, ids2d)
+            return out
 
-    if mesh is None:
         return jax.jit(step)
-    rep, data, _ = _shardings(mesh)
-    from ..parallel.mesh import DATA_AXIS
 
-    d2 = (NamedSharding(mesh, P(None, DATA_AXIS))
-          if DATA_AXIS in mesh.shape else rep)
-    return jax.jit(step, in_shardings=(rep, rep, d2), out_shardings=d2)
+    return _memo_scan(("encode_scan", id(model), config, backbone_method),
+                      model, build)
+
+
+def make_eval_scan(config: RecformerConfig, model, ks: Sequence[int] = (10, 50)):
+    """All eval batches of one group in ONE device call: ``lax.scan`` of
+    :func:`make_eval_step` over stacked ``(nb, B, ...)`` batches, per-batch
+    metric sums reduced on device. Memoized (see ``_SCAN_CACHE``)."""
+    ks = tuple(ks)
+
+    def build():
+        step = make_eval_step(config, model, ks=ks)
+
+        @jax.jit
+        def run(params, table, ids, lens, labels, valid, item_embeddings):
+            def body(carry, xs):
+                return carry, step(params, table, *xs, item_embeddings)
+
+            _, outs = jax.lax.scan(body, None, (ids, lens, labels, valid))
+            return jax.tree.map(lambda a: jnp.sum(a, axis=0), outs)
+
+        return run
+
+    return _memo_scan(("eval_scan", id(model), config, ks), model, build)
+
+
+def make_fraud_eval_scan(config: RecformerConfig, model):
+    """Fraud sigmoid probabilities for a group of stacked batches in one
+    device call -> ``(nb, B)``. Memoized (see ``_SCAN_CACHE``)."""
+
+    def build():
+        step = make_fraud_eval_step(config, model)
+
+        @jax.jit
+        def run(params, table, ids, lens):
+            def body(carry, xs):
+                return carry, step(params, table, *xs)
+
+            _, out = jax.lax.scan(body, None, (ids, lens))
+            return out
+
+        return run
+
+    return _memo_scan(("fraud_eval_scan", id(model), config), model, build)
 
 
 # ---------------------------------------------------------------------------

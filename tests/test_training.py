@@ -436,3 +436,41 @@ def test_two_stage_finetune_resume_equivalence(world, tmp_path):
         resume_dir=rdir, log=logs.append, **kw)
     assert any("resumed at stage 2" in str(m) for m in logs)
     assert resumed == ref
+
+
+def test_eval_scan_chunking_matches_single_group(world):
+    """Chunked-group eval (scan_chunk < nb, tail padded with all-invalid
+    filler batches) must reproduce the one-group result exactly, for both the
+    ranked eval and the fraud prob sweep (advisor r2: groups give coarse
+    progress through relay hangs without changing the math)."""
+    _cfg, table, user2train, user2val, user2test, n_items = world
+    cfg = _cfg.replace(dtype="float32")
+    model = RecformerForSeqRec(cfg)
+    dummy = {
+        k: jnp.zeros((1, cfg.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    item_emb = encode_all_items(params, model, table, cfg, batch_size=8)
+    val_ds = EvalDataset(user2train, user2val, user2test, "val", max_items=16)
+    # batch_size 4 -> 6 batches; chunk 2 -> 3 groups; chunk 4 -> padded tail
+    whole = evaluate_seqrec(params, model, table, val_ds, item_emb, cfg,
+                            batch_size=4, scan_chunk=32)
+    for chunk in (2, 4):
+        got = evaluate_seqrec(params, model, table, val_ds, item_emb, cfg,
+                              batch_size=4, scan_chunk=chunk)
+        assert got.keys() == whole.keys()
+        for k in whole:
+            np.testing.assert_allclose(got[k], whole[k], rtol=1e-6, err_msg=k)
+
+    fmodel = RecformerForFraudDetection(cfg)
+    fparams = fmodel.init(jax.random.PRNGKey(1), dummy)
+    user_sequences = {u: (seq, [u % 2]) for u, seq in user2train.items()}
+    ds = FraudDataset(user_sequences, max_items=16)
+    whole_f = evaluate_fraud(fparams, fmodel, table, ds, cfg, batch_size=4,
+                             scan_chunk=32)
+    for chunk in (2, 4):
+        got_f = evaluate_fraud(fparams, fmodel, table, ds, cfg, batch_size=4,
+                               scan_chunk=chunk)
+        assert got_f == whole_f
