@@ -32,6 +32,7 @@ from ..utils.clustering import (
     predictions_per_cluster,
     save_cluster_plots,
     tsne_project,
+    umap_project,
 )
 from ..utils.io import load_finetune_artifacts, read_json
 from .common import (
@@ -62,7 +63,7 @@ def parse_args(argv=None):
     p.add_argument("--hidden_act", choices=["gelu", "gelu_tanh", "relu"], default=None,
                    help="override activation: 'gelu' (exact erf) restores HF parity "
                         "for imported checkpoints; base() defaults to gelu_tanh")
-    p.add_argument("--projection", choices=["pca", "tsne"], default="pca",
+    p.add_argument("--projection", choices=["pca", "tsne", "umap"], default="pca",
                    help="2-D projection for the scatter export "
                         "(reference cluster.py:144-181 offers t-SNE/PCA/UMAP)")
     p.add_argument("--describe_clusters", action="store_true",
@@ -148,6 +149,8 @@ def main(argv=None):
     labels, centers, inertia = kmeans(embeddings, k)
     if args.projection == "tsne":
         proj = tsne_project(embeddings, 2)
+    elif args.projection == "umap":
+        proj = umap_project(embeddings, 2)
     else:
         proj = pca_project(embeddings, 2)
 

@@ -198,6 +198,97 @@ def tsne_project(embeddings: np.ndarray, dims: int = 2, perplexity: float = 30.0
     return y.astype(np.float32)
 
 
+def umap_project(embeddings: np.ndarray, dims: int = 2, n_neighbors: int = 15,
+                 min_dist: float = 0.1, n_epochs: int = 300,
+                 seed: int = 0) -> np.ndarray:
+    """Dependency-free UMAP: the reference's third 2-D projection option
+    (``/root/reference/cluster.py:144-181`` uses ``umap-learn``). Standard
+    formulation (McInnes et al. 2018): exact kNN graph, per-point bandwidths
+    binary-searched so the smoothed neighbor cardinality is ``log2(k)``,
+    fuzzy-union symmetrization, then SGD on the fuzzy cross-entropy with the
+    ``1/(1 + a d^{2b})`` low-dim kernel — edges sampled by membership
+    strength, ``m`` uniform negatives per positive, linearly decaying step.
+    PCA-initialized and fully seeded for determinism. Exact-kNN is O(N^2)
+    like :func:`tsne_project` — the analytics regime (<= a few thousand
+    points) this module targets."""
+    x = embeddings.astype(np.float32)
+    n = x.shape[0]
+    if n <= dims + 1:
+        return pca_project(embeddings, dims)
+    rng = np.random.default_rng(seed)
+    k = int(min(n_neighbors, n - 1))
+
+    d2 = np.maximum((x * x).sum(1)[:, None] - 2 * x @ x.T + (x * x).sum(1)[None, :], 0)
+    np.fill_diagonal(d2, np.inf)
+    nbr = np.argpartition(d2, k - 1, axis=1)[:, :k]  # (N, k) neighbor ids
+    nd = np.sqrt(np.take_along_axis(d2, nbr, axis=1))  # neighbor distances
+
+    # smooth-kNN calibration: rho = nearest distance; sigma s.t.
+    # sum_j exp(-(d_ij - rho)/sigma) = log2(k)
+    rho = nd.min(axis=1)
+    target = np.log2(k)
+    sigma = np.ones(n, np.float64)
+    for i in range(n):
+        lo, hi, s = 0.0, np.inf, 1.0
+        gap = np.maximum(nd[i] - rho[i], 0.0)
+        for _ in range(64):
+            val = float(np.exp(-gap / max(s, 1e-12)).sum())
+            if abs(val - target) < 1e-5:
+                break
+            if val > target:
+                hi = s
+                s = (s + lo) / 2
+            else:
+                lo = s
+                s = s * 2 if hi == np.inf else (s + hi) / 2
+        sigma[i] = max(s, 1e-12)
+    w = np.exp(-np.maximum(nd - rho[:, None], 0.0) / sigma[:, None])  # (N, k)
+
+    # fuzzy union P = P + P^T - P o P^T on the sparse kNN edges
+    heads = np.repeat(np.arange(n), k)
+    tails = nbr.ravel()
+    dense = np.zeros((n, n), np.float32)
+    dense[heads, tails] = w.ravel().astype(np.float32)
+    sym = dense + dense.T - dense * dense.T
+    ei, ej = np.nonzero(np.triu(sym, 1))
+    ew = sym[ei, ej]
+    keep = ew > ew.max() / float(n_epochs)  # umap's negligible-edge cutoff
+    ei, ej, ew = ei[keep], ej[keep], ew[keep]
+    p_edge = (ew / ew.max()).astype(np.float64)  # per-epoch sampling prob
+
+    # curve constants fitted to (min_dist=0.1, spread=1.0), the umap-learn
+    # defaults (find_ab_params output)
+    a, b = 1.576943, 0.895061
+    m_neg = 5
+
+    y = pca_project(embeddings, dims).astype(np.float64)
+    y = 10.0 * y / max(np.abs(y).max(), 1e-12)  # umap-scale init box
+
+    for epoch in range(n_epochs):
+        alpha = 1.0 - epoch / float(n_epochs)
+        mask = rng.random(len(ei)) < p_edge
+        ii, jj = ei[mask], ej[mask]
+        if len(ii) == 0:
+            continue
+        diff = y[ii] - y[jj]
+        dist2 = (diff * diff).sum(1)
+        # attractive gradient of the CE wrt d^2, standard umap form
+        g_att = (-2.0 * a * b * dist2 ** (b - 1.0)) / (a * dist2 ** b + 1.0)
+        g_att = np.where(dist2 > 0, g_att, 0.0)
+        upd = np.clip(g_att[:, None] * diff, -4.0, 4.0) * alpha
+        np.add.at(y, ii, upd)
+        np.add.at(y, jj, -upd)
+        for _ in range(m_neg):
+            kk = rng.integers(0, n, size=len(ii))
+            diff = y[ii] - y[kk]
+            dist2 = (diff * diff).sum(1)
+            g_rep = (2.0 * b) / ((0.001 + dist2) * (a * dist2 ** b + 1.0))
+            g_rep = np.where(kk == ii, 0.0, g_rep)
+            upd = np.clip(g_rep[:, None] * diff, -4.0, 4.0) * alpha
+            np.add.at(y, ii, upd)
+    return (y - y.mean(0)).astype(np.float32)
+
+
 def predictions_per_cluster(labels: np.ndarray, prediction_ids) -> Dict[int, list]:
     """Group per-user predicted item ids by cluster label
     (``cluster.py:428-438`` ``get_predictions_per_cluster``)."""

@@ -245,3 +245,22 @@ def test_synthetic_transaction_stream(tmp_path):
     cls = json.load(open(tmp_path / "art" / "classification_data" / "train.json"))
     flags = [v[1][0] for v in cls.values()]
     assert set(flags) <= {0, 1} and sum(flags) > 0
+
+
+def test_umap_project_separates_blobs_and_is_deterministic():
+    from recformer_tpu.utils.clustering import umap_project
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(0, 0.05, (40, 8))
+    b = rng.normal(4, 0.05, (40, 8))
+    x = np.concatenate([a, b])
+    p = umap_project(x, 2, n_neighbors=10)
+    assert p.shape == (80, 2)
+    pa, pb = p[:40], p[40:]
+    cross = np.min(np.linalg.norm(pa[:, None] - pb[None], axis=-1))
+    within = np.median(np.linalg.norm(pa[:, None] - pa[None], axis=-1))
+    assert cross > within
+    # fully seeded -> bitwise deterministic
+    np.testing.assert_array_equal(p, umap_project(x, 2, n_neighbors=10))
+    # degenerate tiny input falls back to PCA
+    assert umap_project(x[:3], 2).shape == (3, 2)
