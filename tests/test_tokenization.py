@@ -156,3 +156,71 @@ def test_hf_text_backend_with_local_wordpiece(tmp_path):
     assert toks == ["kind", "guitar", "##s", "hue", "red", "wood"] or "[UNK]" in toks
     # key tokens type 1, value tokens type 2
     assert types[0] == 1 and 2 in types
+
+
+def test_hf_text_backend_with_real_roberta_bpe(tmp_path):
+    """HFTextBackend on the reference's actual tokenizer family — RoBERTa
+    byte-level BPE (the reference subclasses LongformerTokenizer, i.e.
+    RoBERTa BPE: /root/reference/recformer/tokenization.py:4-8) — built from
+    a hand-written vocab.json/merges.txt so no network/asset download is
+    needed. Golden semantics from the reference's inline smoke example
+    (tokenization.py:163-218): attribute dicts like {'pt': ..., 'brand':
+    'Galison++', 'mounting_type': 'Wall Mount++'}. Word-begin flags must
+    follow the reference subword predicate (collator.py:152-159): begin iff
+    the token's string form starts with a space (byte-level 'Ġ') or its
+    first char is punctuation."""
+    import json
+
+    transformers = pytest.importorskip("transformers")
+
+    base = list("GalisonWMutpbrd+")
+    derived = ["Ga", "Gal", "is", "iso", "ison", "++",
+               "Wa", "Wal", "Wall", "ĠM", "ou", "oun", "ount",
+               "ĠMount", "pt", "br", "bra", "bran", "brand"]
+    specials = ["<s>", "<pad>", "</s>", "<unk>", "<mask>"]
+    vocab = {t: i for i, t in enumerate(specials + base + ["Ġ"] + derived)}
+    merges = ["#version: 0.2",
+              "G a", "Ga l", "i s", "is o", "iso n", "+ +",
+              "W a", "Wa l", "Wal l", "Ġ M", "o u", "ou n", "oun t",
+              "ĠM ount", "p t", "b r", "br a", "bra n", "bran d"]
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("\n".join(merges) + "\n")
+    hf = transformers.RobertaTokenizer(str(tmp_path / "vocab.json"),
+                                       str(tmp_path / "merges.txt"))
+
+    from recformer_tpu.data.vocab import HFTextBackend
+
+    backend = HFTextBackend(hf)
+
+    # byte-BPE subwords: "Galison++" -> Gal|ison|++ ; no leading space on the
+    # first token, so per the reference predicate it is NOT a word begin
+    # (quirk preserved); '++' begins because '+' is punctuation
+    ids, begins = backend.tokenize_text("Galison++")
+    assert hf.convert_ids_to_tokens(ids) == ["Gal", "ison", "++"]
+    assert begins == [False, False, True]
+
+    # space-separated words: second word gets the Ġ prefix -> word begin
+    ids, begins = backend.tokenize_text("Wall Mount")
+    assert hf.convert_ids_to_tokens(ids) == ["Wall", "ĠMount"]
+    assert begins == [False, True]
+
+    # full golden-shaped sequence encode through the BPE backend
+    from recformer_tpu.config import RecformerConfig
+    from recformer_tpu.data.tokenization import RecformerTokenizer
+
+    cfg = RecformerConfig.tiny(vocab_size=len(vocab),
+                               pad_token_id=hf.pad_token_id,
+                               bos_token_id=hf.bos_token_id,
+                               eos_token_id=hf.eos_token_id,
+                               mask_token_id=hf.mask_token_id)
+    tok = RecformerTokenizer(cfg, backend)
+    items = [{"pt": "Galison++"}, {"brand": "Wall Mount"}]
+    enc = tok.encode(items)
+    toks = hf.convert_ids_to_tokens(enc.input_ids)
+    # newest-first reversal: item 2 ('brand') precedes item 1 ('pt')
+    assert toks == ["<s>", "brand", "Wall", "ĠMount", "pt", "Gal", "ison", "++"]
+    assert enc.item_position_ids == [0, 1, 1, 1, 2, 2, 2, 2]
+    # key tokens type 1, value tokens type 2, <s> type 0
+    assert enc.token_type_ids == [0, 1, 2, 2, 1, 2, 2, 2]
+    assert enc.global_attention_mask == [1, 0, 0, 0, 0, 0, 0, 0]
+    assert enc.word_begin == [0, 0, 0, 1, 0, 0, 0, 1]
