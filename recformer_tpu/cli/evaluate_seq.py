@@ -94,7 +94,7 @@ def main(argv=None):
     max_items = max(max((len(s) for s in train.values()), default=1), 1) + 1
     ds = EvalDataset(train, val, test, args.split, max_items=max_items)
     metrics = evaluate_seqrec(params, model, table, ds, item_embeddings, config,
-                              args.batch_size)
+                              args.batch_size, log=print)
     print(f"{args.split} set: {metrics}")
     if args.output_file:
         with open(args.output_file, "w") as f:

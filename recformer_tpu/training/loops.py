@@ -387,7 +387,8 @@ def finetune_two_stage(
             improved = False
             if (epoch + 1) % verbose == 0:
                 dev = evaluate_seqrec(state.params, model, table, val_dataset,
-                                      item_embeddings, config, eval_batch_size)
+                                      item_embeddings, config, eval_batch_size,
+                                      log=log)
                 log(f"[stage1] epoch {epoch} loss {loss:.4f} dev {dev}")
                 if dev["NDCG@10"] > best_target:
                     best_target = dev["NDCG@10"]
@@ -424,7 +425,8 @@ def finetune_two_stage(
         improved = False
         if (epoch + 1) % verbose == 0:
             dev = evaluate_seqrec(state.params, model, table, val_dataset,
-                                  item_embeddings, config, eval_batch_size)
+                                  item_embeddings, config, eval_batch_size,
+                                  log=log)
             log(f"[stage2] epoch {epoch} loss {loss:.4f} dev {dev}")
             if dev["NDCG@10"] > best_target:
                 best_target = dev["NDCG@10"]
@@ -445,7 +447,8 @@ def finetune_two_stage(
     # NO re-encode: test scores against the catalog the selected params were
     # trained with (reference load_state_dict semantics, finetune.py:351-353)
     test_metrics = evaluate_seqrec(state.params, model, table, test_dataset,
-                                   item_embeddings, config, eval_batch_size)
+                                   item_embeddings, config, eval_batch_size,
+                                   log=log)
     return state, item_embeddings, test_metrics
 
 
