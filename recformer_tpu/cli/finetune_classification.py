@@ -91,6 +91,10 @@ def parse_args(argv=None):
                         "trade little accuracy for speed vs the 1024 default)")
     p.add_argument("--scan_unroll", type=int, default=None,
                    help="layers per lax.scan iteration (cross-layer fusion vs program size)")
+    p.add_argument("--steps_per_call", type=int, default=16,
+                   help="train steps per device dispatch (lax.scan over "
+                        "pre-staged batches; bit-equal to sequential steps, "
+                        "amortizes the ~1.8s axon-relay dispatch)")
     p.add_argument("--seed", type=int, default=42)
     return p.parse_args(argv)
 
@@ -164,14 +168,52 @@ def main(argv=None):
         print(f"[fraud] resumed at epoch {start_epoch} "
               f"(best F1 {best_f1:.4f}, patience {patience})")
 
+    multi_step = None
+    if args.steps_per_call > 1:
+        from ..training.steps import make_multi_step
+
+        # labels + valid are per-step stacks (scan_extras=2)
+        multi_step = make_multi_step(step, args.steps_per_call, scan_extras=2)
+
+    def flush(state, pending, losses, weights):
+        """Dispatch pending batches: one scanned call for a full group,
+        per-batch calls for the tail (all fraud batches are shape-uniform —
+        FraudDataset pads short batches with valid=0 rows). Per-call loss
+        stays a device scalar (mean + weight) — ONE host transfer per epoch."""
+        if multi_step is not None and len(pending) == args.steps_per_call:
+            state, trace = multi_step(
+                state, rng, table,
+                jnp.asarray(np.stack([b.item_ids for b in pending])),
+                jnp.asarray(np.stack([b.seq_lens for b in pending])),
+                jnp.asarray(np.stack([b.labels for b in pending])),
+                jnp.asarray(np.stack([b.valid for b in pending])))
+            losses.append(jnp.mean(trace["loss"]))
+            weights.append(len(pending))
+        else:
+            for b in pending:
+                state, metrics = step(state, rng, table,
+                                      jnp.asarray(b.item_ids), jnp.asarray(b.seq_lens),
+                                      jnp.asarray(b.labels), jnp.asarray(b.valid))
+                losses.append(metrics["loss"])
+                weights.append(1)
+        return state
+
     for epoch in range(start_epoch, args.num_train_epochs):
-        losses = []  # device scalars; ONE host transfer per epoch
+        losses, weights = [], []
+        pending = []
         for batch in train_ds.batches(args.batch_size, shuffle=True, seed=epoch):
-            state, metrics = step(state, rng, table,
-                                  jnp.asarray(batch.item_ids), jnp.asarray(batch.seq_lens),
-                                  jnp.asarray(batch.labels), jnp.asarray(batch.valid))
-            losses.append(metrics["loss"])
-        epoch_loss = float(np.asarray(jnp.stack(losses)).mean()) if losses else 0.0
+            pending.append(batch)
+            if len(pending) == max(args.steps_per_call, 1):
+                state = flush(state, pending, losses, weights)
+                pending = []
+        if pending:
+            state = flush(state, pending, losses, weights)
+        if losses:
+            vals = np.asarray(jnp.stack(losses), dtype=np.float64)
+            w = np.asarray(weights, dtype=np.float64)
+            epoch_loss = float((vals * w).sum() / w.sum())
+        else:
+            epoch_loss = 0.0
         dev = evaluate_fraud(state.params, model, table, val_ds, config,
                              args.eval_batch_size)
         print(f"[fraud] epoch {epoch} loss {epoch_loss:.4f} dev {dev}")

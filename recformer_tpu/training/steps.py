@@ -176,10 +176,14 @@ def _local_grad_pretrain_step(config: RecformerConfig, model, mesh: Mesh):
     return step
 
 
-def make_multi_step(step_fn, n_steps: int):
+def make_multi_step(step_fn, n_steps: int, scan_extras: int = 0):
     """Wrap a train step into a device-side ``lax.scan`` over ``n_steps``
     pre-staged batches: step(state, rng, table, stacked_item_ids (n, B, S),
     stacked_seq_lens (n, B), *extras) -> (state, metrics dict of (n,) traces).
+
+    The first ``scan_extras`` extra args are per-step stacks (leading (n,)
+    axis, scanned alongside ids/lens — e.g. fraud labels/valid); the rest are
+    broadcast whole into every step (e.g. the item-embedding catalog).
 
     The FULL per-step metric dict comes out of the scan (every step's loss /
     accuracy / counters, not just the last), so drivers log real values.
@@ -192,12 +196,16 @@ def make_multi_step(step_fn, n_steps: int):
 
     @functools.partial(jax.jit, donate_argnums=0)
     def run(state, rng, table, item_ids_stack, seq_lens_stack, *extras):
+        scanned = extras[:scan_extras]
+        bcast = extras[scan_extras:]
+
         def body(s, xs):
-            ids, lens = xs
-            s, m = step_fn(s, rng, table, ids, lens, *extras)
+            ids, lens = xs[0], xs[1]
+            s, m = step_fn(s, rng, table, ids, lens, *xs[2:], *bcast)
             return s, m
 
-        return jax.lax.scan(body, state, (item_ids_stack, seq_lens_stack))
+        return jax.lax.scan(body, state,
+                            (item_ids_stack, seq_lens_stack, *scanned))
 
     return run
 

@@ -474,3 +474,44 @@ def test_eval_scan_chunking_matches_single_group(world):
         got_f = evaluate_fraud(fparams, fmodel, table, ds, cfg, batch_size=4,
                                scan_chunk=chunk)
         assert got_f == whole_f
+
+
+def test_multi_step_scan_extras_matches_sequential_fraud(world):
+    """make_multi_step(scan_extras=2): scanned fraud steps (labels + valid
+    stacked per step) must equal sequential step calls."""
+    from recformer_tpu.training.steps import make_fraud_train_step, make_multi_step
+
+    cfg, table, user2train, *_ = world
+    cfg = cfg.replace(dtype="float32", hidden_dropout_prob=0.0)
+    model = RecformerForFraudDetection(cfg)
+    dummy = {
+        k: jnp.zeros((1, cfg.max_token_num), jnp.int32)
+        for k in ("input_ids", "attention_mask", "global_attention_mask",
+                  "token_type_ids", "item_position_ids")
+    }
+    params = model.init(jax.random.PRNGKey(0), dummy)
+    tx = create_optimizer(learning_rate=1e-3, warmup_steps=1, total_steps=100)
+    user_sequences = {u: (seq, [u % 2]) for u, seq in user2train.items()}
+    ds = FraudDataset(user_sequences, max_items=16)
+    batches = list(ds.batches(8))[:2]
+    step = make_fraud_train_step(cfg, model)
+    multi = make_multi_step(step, 2, scan_extras=2)
+    rng = jax.random.PRNGKey(2)
+
+    s1 = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    losses_seq = []
+    for b in batches:
+        s1, m = step(s1, rng, table, jnp.asarray(b.item_ids), jnp.asarray(b.seq_lens),
+                     jnp.asarray(b.labels), jnp.asarray(b.valid))
+        losses_seq.append(float(m["loss"]))
+
+    s2 = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    s2, metrics = multi(
+        s2, rng, table,
+        jnp.asarray(np.stack([b.item_ids for b in batches])),
+        jnp.asarray(np.stack([b.seq_lens for b in batches])),
+        jnp.asarray(np.stack([b.labels for b in batches])),
+        jnp.asarray(np.stack([b.valid for b in batches])))
+    np.testing.assert_allclose(np.asarray(metrics["loss"]), losses_seq, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
