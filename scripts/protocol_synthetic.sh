@@ -44,8 +44,8 @@ if [ -z "${SYNTH_SKIP_A:-}" ] && [ ! -f "$DIR"/ftA/finetune/test_metrics.json ];
   RESUME=""; [ -f "$DIR"/ftA/finetune/loop_state/loop.json ] && RESUME=--resume
   python -m recformer_tpu.cli.finetune --data_path "$DIR"/synth/finetune \
     --output_dir "$DIR"/ftA $PROD $RESUME 2>&1 | tee -a "$DIR"/ftA.log
-  stamp "run A done: $(cat "$DIR"/ftA/finetune/test_metrics.json 2>/dev/null)"
 fi
+[ -z "${SYNTH_SKIP_A:-}" ] && stamp "run A done: $(cat "$DIR"/ftA/finetune/test_metrics.json 2>/dev/null)"
 
 # B1. pretrain on the DISJOINT item universe (canonical recipe; 8 epochs =
 #     2k optimizer steps at eff. batch 64 at paper scale — enough to measure
@@ -62,6 +62,10 @@ if [ ! -f "$DIR"/pretrain/config.json ]; then
 fi
 
 # B2. convert (pretrain ckpt -> seqrec init)
+if [ ! -f "$DIR"/pretrain/config.json ]; then
+  stamp "ABORT: pretrain did not complete (no config.json) — rerun to resume it"
+  exit 4
+fi
 if [ ! -d "$DIR"/converted/seqrec ]; then
   stamp "run B: converting checkpoint"
   python -m recformer_tpu.cli.convert_ckpt --pretrain_ckpt "$DIR"/pretrain/best \
@@ -71,6 +75,10 @@ fi
 
 # B3. zero-shot eval of the pretrained model on the finetune corpus
 #     (the paper's text-transfer claim, /root/reference/evaluate_seq.py)
+if [ ! -d "$DIR"/converted/seqrec ]; then
+  stamp "ABORT: checkpoint conversion failed — fix and rerun"
+  exit 5
+fi
 if [ ! -f "$DIR"/zeroshot.json ]; then
   stamp "run B: zero-shot eval"
   python -m recformer_tpu.cli.evaluate_seq --data_path "$DIR"/synth/finetune \
