@@ -45,19 +45,14 @@ def _timed(run, *args):
     return dt
 
 
-def bench_pretrain(cfg, table, item_ids, seq_lens, steps):
-    from recformer_tpu.data.device_pipeline import make_pretrain_batch
+def _pretrain_run_n(cfg, steps):
+    """The jitted N-step pretrain program shared by the measuring and
+    compile-only paths (identical jaxpr => identical persistent-cache key)."""
     from recformer_tpu.models.heads import RecformerForPretraining
-    from recformer_tpu.training.optimizer import create_optimizer
-    from recformer_tpu.training.steps import TrainState, make_pretrain_step
+    from recformer_tpu.training.steps import make_pretrain_step
 
     model = RecformerForPretraining(cfg)
-    ba, bb = make_pretrain_batch(jax.random.PRNGKey(0), table, item_ids, seq_lens, cfg)
-    params = model.init(jax.random.PRNGKey(0), ba, bb)
-    tx = create_optimizer(learning_rate=5e-5, warmup_steps=100, total_steps=10000)
-    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     step = make_pretrain_step(cfg, model)
-    rng = jax.random.PRNGKey(1)
 
     # donate the train state: without donation the scan holds input + output
     # + carry copies of the ~1.3 GB optimizer state simultaneously
@@ -68,6 +63,47 @@ def bench_pretrain(cfg, table, item_ids, seq_lens, steps):
             return s, m["loss"]
 
         return jax.lax.scan(body, state, None, length=steps)
+
+    return model, run_n
+
+
+def _pretrain_state_maker(cfg, model, table, item_ids, seq_lens):
+    from recformer_tpu.data.device_pipeline import make_pretrain_batch
+    from recformer_tpu.training.optimizer import create_optimizer
+    from recformer_tpu.training.steps import TrainState
+
+    def make_state():
+        ba, bb = make_pretrain_batch(jax.random.PRNGKey(0), table, item_ids,
+                                     seq_lens, cfg)
+        params = model.init(jax.random.PRNGKey(0), ba, bb)
+        tx = create_optimizer(learning_rate=5e-5, warmup_steps=100,
+                              total_steps=10000)
+        return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    return make_state
+
+
+def compile_pretrain(cfg, table, item_ids, seq_lens, steps):
+    """Lower + compile the exact bench_pretrain program WITHOUT running
+    anything on the accelerator (all arguments abstract via eval_shape), so a
+    cold persistent compile cache can be warmed while another job owns the
+    chip. A later real `bench.py` run then hits the cache and measures in
+    seconds instead of paying a 5-30 min remote compile."""
+    model, run_n = _pretrain_run_n(cfg, steps)
+    make_state = _pretrain_state_maker(cfg, model, table, item_ids, seq_lens)
+    state_shape = jax.eval_shape(make_state)
+    rng_shape = jax.eval_shape(lambda: jax.random.PRNGKey(1))
+    abstract = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                            (table, item_ids, seq_lens))
+    t0 = time.perf_counter()
+    run_n.lower(state_shape, rng_shape, *abstract).compile()
+    return time.perf_counter() - t0
+
+
+def bench_pretrain(cfg, table, item_ids, seq_lens, steps):
+    model, run_n = _pretrain_run_n(cfg, steps)
+    state = _pretrain_state_maker(cfg, model, table, item_ids, seq_lens)()
+    rng = jax.random.PRNGKey(1)
 
     state, losses = run_n(state, rng, table, item_ids, seq_lens)
     np.asarray(losses)  # compile + warm run; hard barrier
@@ -161,6 +197,11 @@ def main():
     ap.add_argument("--scan_layers", action="store_true")
     ap.add_argument("--no-dropout", action="store_true", dest="no_dropout")
     ap.add_argument("--ln", choices=["xla", "pallas_bwd"], default="xla")
+    ap.add_argument("--compile-only", action="store_true", dest="compile_only",
+                    help="lower+compile the pretrain program for this config "
+                         "(warming the persistent cache) without any device "
+                         "execution, then exit — safe to run while another "
+                         "job owns the chip")
     args = ap.parse_args()
 
     from __graft_entry__ import _synthetic_table
@@ -185,6 +226,12 @@ def main():
     B = args.batch_size
     item_ids = jnp.asarray(rng_np.integers(0, n_items, size=(B, s_in)).astype(np.int32))
     seq_lens = jnp.asarray(rng_np.integers(s_in // 2, s_in + 1, size=B).astype(np.int32))
+
+    if args.compile_only:
+        dt = compile_pretrain(cfg, table, item_ids, seq_lens, args.steps)
+        print(json.dumps({"compiled": True, "task": args.task,
+                          "seconds": round(dt, 1)}))
+        return
 
     if args.task == "pretrain":
         rate, metric, unit = bench_pretrain(cfg, table, item_ids, seq_lens, args.steps)
