@@ -22,7 +22,9 @@ run_one() {
   line=$(python bench.py "$@" 2>"runs/sweep_$tag.err" | tail -1)
   echo "{\"config\": \"$tag\", ${line#\{}" | tee -a runs/unroll_sweep.jsonl
 }
-for u in 2 3 4 6; do
+# most-informative-first so a time-boxed partial sweep still answers the
+# headline question (u3 = best expected fusion/compile trade-off)
+for u in 3 2 4 6; do
   run_one "scan_remat_u$u" --scan_layers --remat --remat_policy dots_attn --scan_unroll "$u"
 done
 run_one "scan_only" --scan_layers
