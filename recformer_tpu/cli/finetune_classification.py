@@ -69,6 +69,12 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--eval_batch_size", type=int, default=32)
     p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--head_lr", type=float, default=None,
+                   help="separate LR for the fresh 3-layer MLP head "
+                        "(discriminative finetuning: encoder at "
+                        "--learning_rate, head at --head_lr; the reference's "
+                        "single 5e-5 cannot train the random-init head within "
+                        "the fraud step budget — docs/RESULTS.md leg 3)")
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--warmup_steps", type=int, default=100)
     p.add_argument("--patience", type=int, default=3)
@@ -137,6 +143,7 @@ def main(argv=None):
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         warmup_steps=args.warmup_steps,
         total_steps=steps_per_epoch * args.num_train_epochs,
+        head_lr=args.head_lr,
     )
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     step = make_fraud_train_step(config, model)

@@ -44,6 +44,20 @@ def decay_mask(params) -> dict:
     return jax.tree_util.tree_map_with_path(lambda path, _: is_decayed(path), params)
 
 
+def head_label_fn(params) -> dict:
+    """'encoder' for everything under the backbone module (``longformer``),
+    'head' for the rest (task-head parameters: fraud MLP fc1/fc2/fc3, MLM
+    towers, ...). Top-level module names come from the flax setup attributes
+    in ``models/heads.py``."""
+    import jax
+
+    def mark(path, _):
+        top = getattr(path[0], "key", str(path[0]))
+        return "encoder" if top == "longformer" else "head"
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
 def create_optimizer(
     learning_rate: float = 5e-5,
     weight_decay: float = 0.0,
@@ -54,19 +68,37 @@ def create_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    head_lr: float | None = None,
 ) -> optax.GradientTransformation:
-    schedule = linear_warmup_linear_decay(learning_rate, warmup_steps, total_steps)
-    tx = optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(
-            learning_rate=schedule,
+    """Single AdamW chain, or — when ``head_lr`` is given — a two-group
+    recipe: backbone at ``learning_rate``, task-head parameters at
+    ``head_lr`` (same schedule shape). The reference trains every finetune at
+    one LR (``finetune_classification.py:433`` lr 5e-5), which round-3
+    protocol runs showed cannot train a *freshly initialized* classification
+    head within the fraud track's step budget (the oracle proves the signal,
+    the backbone trains, yet both fraud legs stay degenerate — see
+    docs/RESULTS.md leg 3). Deliberate fix per SURVEY §7.4 policy: the
+    standard discriminative-LR recipe. Gradient clipping stays *global*
+    (one clip before the group split), matching the reference trainer."""
+
+    def adamw(lr):
+        return optax.adamw(
+            learning_rate=linear_warmup_linear_decay(lr, warmup_steps, total_steps),
             b1=b1,
             b2=b2,
             eps=eps,
             weight_decay=weight_decay,
             mask=decay_mask if weight_decay > 0 else None,
-        ),
-    )
+        )
+
+    if head_lr is None:
+        inner = adamw(learning_rate)
+    else:
+        inner = optax.multi_transform(
+            {"encoder": adamw(learning_rate), "head": adamw(head_lr)},
+            head_label_fn,
+        )
+    tx = optax.chain(optax.clip_by_global_norm(grad_clip), inner)
     if grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx

@@ -33,6 +33,13 @@
 # the reference's 5e-5), pretrain runs 24 epochs (round 2's 8 plateaued at
 # dev contrastive accuracy 0.286), and finetune gets 16 epochs / patience 5.
 #
+# Round 3 second fix (discriminative LR): with ONE lr both legs stay
+# degenerate — 5e-5 cannot train the freshly-initialized 3-layer MLP head
+# within the step budget, 1e-3 diverges the encoder (docs/RESULTS.md leg 3
+# isolates this to the head recipe: oracle AUC 0.949, backbone dev 0.417).
+# C3/C4 now run encoder at 5e-5 + head at FRAUD_HEAD_LR (default 1e-3):
+#   FRAUD_HEAD_LR                  --head_lr for C3/C4  (default 1e-3)
+#
 # Idempotent per stage; do NOT run concurrently with protocol_synthetic.sh
 # (one TPU, 2 host CPUs).
 set -uo pipefail
@@ -43,6 +50,7 @@ SCALE="${FRAUD_SCALE:-paper}"
 PRE_EPOCHS="${FRAUD_PRETRAIN_EPOCHS:-24}"
 CLS_EPOCHS="${FRAUD_CLS_EPOCHS:-16}"
 PATIENCE="${FRAUD_PATIENCE:-5}"
+HEAD_LR="${FRAUD_HEAD_LR:-1e-3}"
 mkdir -p "$DIR"
 
 stamp() { echo "[fraud-protocol $(date +%H:%M:%S)] $*" | tee -a "$DIR"/protocol.log; }
@@ -70,7 +78,7 @@ if [ ! -f "$DIR"/fraudA/classification_data/test_metrics.json ]; then
   R=""; [ -f "$DIR"/fraudA/classification_data/loop_state/loop.json ] && R=--resume
   python -m recformer_tpu.cli.finetune_classification \
     --data_path "$DIR"/artifacts/classification_data \
-    --output_dir "$DIR"/fraudA $PROD $R \
+    --output_dir "$DIR"/fraudA $PROD $R --head_lr "$HEAD_LR" \
     --num_train_epochs "$CLS_EPOCHS" --patience "$PATIENCE" \
     2>&1 | tee -a "$DIR"/fraudA.log
 fi
@@ -100,7 +108,7 @@ if [ ! -f "$DIR"/fraudB/classification_data/test_metrics.json ]; then
   python -m recformer_tpu.cli.finetune_classification \
     --data_path "$DIR"/artifacts/classification_data \
     --pretrain_ckpt "$DIR"/converted/fraud \
-    --output_dir "$DIR"/fraudB $PROD $R \
+    --output_dir "$DIR"/fraudB $PROD $R --head_lr "$HEAD_LR" \
     --num_train_epochs "$CLS_EPOCHS" --patience "$PATIENCE" \
     2>&1 | tee -a "$DIR"/fraudB.log
 fi

@@ -63,3 +63,40 @@ def test_grad_accum_multisteps():
 
     np.testing.assert_allclose(np.asarray(p_plain["w"]), np.asarray(p_accum["w"]),
                                rtol=1e-6)
+
+
+def test_head_lr_two_group_recipe():
+    """head_lr splits params by top-level module: 'longformer' subtree steps
+    at learning_rate, everything else (fc1/fc2/fc3 head) at head_lr. The
+    encoder group must match the single-LR optimizer bit-for-bit, and the
+    head group must match a single-LR optimizer run at head_lr (clip is
+    inactive on these tiny grads so global-vs-group clipping cannot differ)."""
+    import optax
+
+    params = {
+        "longformer": {"dense": {"kernel": jnp.ones((2, 2)), "bias": jnp.zeros(2)}},
+        "fc1": {"kernel": jnp.ones((2, 2)), "bias": jnp.zeros(2)},
+        "fc3": {"kernel": jnp.ones((2, 1)), "bias": jnp.zeros(1)},
+    }
+    grads = jax.tree.map(lambda p: jnp.full_like(p, 1e-3), params)
+    kw = dict(warmup_steps=0, total_steps=100)  # step 0 is already past warmup
+
+    def one_update(tx):
+        s = tx.init(params)
+        u, _ = tx.update(grads, s, params)
+        return optax.apply_updates(params, u)
+
+    p_split = one_update(create_optimizer(learning_rate=5e-5, head_lr=1e-3, **kw))
+    p_enc = one_update(create_optimizer(learning_rate=5e-5, **kw))
+    p_head = one_update(create_optimizer(learning_rate=1e-3, **kw))
+
+    np.testing.assert_array_equal(
+        np.asarray(p_split["longformer"]["dense"]["kernel"]),
+        np.asarray(p_enc["longformer"]["dense"]["kernel"]))
+    for k in ("fc1", "fc3"):
+        np.testing.assert_array_equal(np.asarray(p_split[k]["kernel"]),
+                                      np.asarray(p_head[k]["kernel"]))
+    # the two groups really moved at different rates
+    d_enc = float(jnp.abs(p_split["longformer"]["dense"]["kernel"] - 1.0).max())
+    d_head = float(jnp.abs(p_split["fc1"]["kernel"] - 1.0).max())
+    assert d_head > 5 * d_enc
