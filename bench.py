@@ -293,7 +293,12 @@ def main():
                   + ("-plnbwd" if args.ln == "pallas_bwd" else ""))
         out["production_config"] = "unrolled-noremat"
         out["production_value"] = out["value"]
-        out["production_vs_baseline"] = round(vs_baseline(anchor, rate), 3)
+        # read-only lookup: the anchor names a scan+remat config that this
+        # (unrolled) run did NOT execute — recording rate under it would
+        # persist an unrolled number as a scan-config baseline (advisor r3)
+        anchor_base = record.get(anchor)
+        if anchor_base is not None:
+            out["production_vs_baseline"] = round(rate / anchor_base, 3)
 
     print(json.dumps(out))
 

@@ -157,6 +157,11 @@ def main(argv=None):
     # epoch-granular rolling resume (same scheme as finetune_two_stage)
     resume_dir = os.path.join(args.output_dir, name, "loop_state")
     loop_meta = os.path.join(resume_dir, "loop.json")
+    # the opt_state tree structure depends on the optimizer recipe (head_lr
+    # switches to a multi_transform); restoring a checkpoint saved under a
+    # different recipe would unflatten old leaves into the wrong structure —
+    # refuse instead of crashing or silently mis-restoring (advisor r3)
+    recipe = {"learning_rate": args.learning_rate, "head_lr": args.head_lr}
     if os.path.exists(loop_meta):
         if not args.resume:
             raise SystemExit(f"{resume_dir} holds an interrupted run; pass "
@@ -165,6 +170,12 @@ def main(argv=None):
 
         with open(loop_meta) as f:
             meta = json.load(f)
+        saved_recipe = meta.get("recipe")
+        if saved_recipe != recipe:
+            raise SystemExit(
+                f"{resume_dir} was saved with optimizer recipe {saved_recipe} "
+                f"but this run uses {recipe}; the opt_state structures are "
+                "incompatible — remove the loop_state directory to start fresh")
         state = restore_train_state(os.path.join(resume_dir, "state"), state)
         best_f1, patience = meta["best_f1"], meta["patience"]
         start_epoch = meta["epoch"] + 1
@@ -241,7 +252,7 @@ def main(argv=None):
             save_params(os.path.join(resume_dir, "best_params"), best_params)
         with open(loop_meta, "w") as f:
             json.dump({"epoch": epoch, "best_f1": best_f1,
-                       "patience": patience,
+                       "patience": patience, "recipe": recipe,
                        "epoch_metrics": epoch_metrics}, f, default=str)
         if patience == 0:
             break

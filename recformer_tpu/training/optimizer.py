@@ -47,13 +47,18 @@ def decay_mask(params) -> dict:
 def head_label_fn(params) -> dict:
     """'encoder' for everything under the backbone module (``longformer``),
     'head' for the rest (task-head parameters: fraud MLP fc1/fc2/fc3, MLM
-    towers, ...). Top-level module names come from the flax setup attributes
-    in ``models/heads.py``."""
+    towers, ...). Module names come from the flax setup attributes in
+    ``models/heads.py``.
+
+    The real TrainState.params tree is the full flax variables dict with a
+    top-level ``'params'`` key, so the backbone key is NOT at path[0] — label
+    by whether ``longformer`` appears *anywhere* in the path (works for both
+    the wrapped ``{'params': {...}}`` tree and a bare params tree)."""
     import jax
 
     def mark(path, _):
-        top = getattr(path[0], "key", str(path[0]))
-        return "encoder" if top == "longformer" else "head"
+        keys = [getattr(p, "key", str(p)) for p in path]
+        return "encoder" if "longformer" in keys else "head"
 
     return jax.tree_util.tree_map_with_path(mark, params)
 

@@ -100,3 +100,27 @@ def test_head_lr_two_group_recipe():
     d_enc = float(jnp.abs(p_split["longformer"]["dense"]["kernel"] - 1.0).max())
     d_head = float(jnp.abs(p_split["fc1"]["kernel"] - 1.0).max())
     assert d_head > 5 * d_enc
+
+
+def test_head_lr_labels_wrapped_variables_tree():
+    """The real TrainState.params is the full flax variables dict with a
+    top-level 'params' key (init_model_params returns model.init output), so
+    the backbone key is NOT at path[0]. Regression test for the round-3 bug
+    where every leaf was labeled 'head' and --head_lr silently trained the
+    entire model (encoder included) at head_lr."""
+    from recformer_tpu.training.optimizer import head_label_fn
+
+    wrapped = {
+        "params": {
+            "longformer": {"dense": {"kernel": jnp.ones((2, 2))}},
+            "fc1": {"kernel": jnp.ones((2, 2))},
+        }
+    }
+    labels = head_label_fn(wrapped)
+    assert labels["params"]["longformer"]["dense"]["kernel"] == "encoder"
+    assert labels["params"]["fc1"]["kernel"] == "head"
+    # bare tree still labels correctly
+    bare = wrapped["params"]
+    labels_bare = head_label_fn(bare)
+    assert labels_bare["longformer"]["dense"]["kernel"] == "encoder"
+    assert labels_bare["fc1"]["kernel"] == "head"
