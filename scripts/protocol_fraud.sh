@@ -54,6 +54,8 @@ HEAD_LR="${FRAUD_HEAD_LR:-1e-3}"
 mkdir -p "$DIR"
 
 stamp() { echo "[fraud-protocol $(date +%H:%M:%S)] $*" | tee -a "$DIR"/protocol.log; }
+# artifact guard (VERDICT r3 item 7): a stage may not "finish" silently
+require() { [ -e "$1" ] || { stamp "ABORT: stage '$2' finished without its artifact $1"; exit 9; }; }
 
 case "$SCALE" in
   paper) WANT_CARDS=3800 ;;
@@ -82,6 +84,7 @@ if [ ! -f "$DIR"/fraudA/classification_data/test_metrics.json ]; then
     --num_train_epochs "$CLS_EPOCHS" --patience "$PATIENCE" \
     2>&1 | tee -a "$DIR"/fraudA.log
 fi
+require "$DIR"/fraudA/classification_data/test_metrics.json "C3"
 stamp "C3 test: $(cat "$DIR"/fraudA/classification_data/test_metrics.json 2>/dev/null)"
 
 if [ ! -f "$DIR"/pretrain/config.json ]; then
@@ -112,5 +115,6 @@ if [ ! -f "$DIR"/fraudB/classification_data/test_metrics.json ]; then
     --num_train_epochs "$CLS_EPOCHS" --patience "$PATIENCE" \
     2>&1 | tee -a "$DIR"/fraudB.log
 fi
+require "$DIR"/fraudB/classification_data/test_metrics.json "C4"
 stamp "C4 test: $(cat "$DIR"/fraudB/classification_data/test_metrics.json 2>/dev/null)"
 stamp "FRAUD PROTOCOL DONE"

@@ -20,21 +20,38 @@
 #   SYNTH_SKIP_A=1                 skip run A (random-init finetune)
 #   SYNTH_SKIP_FTB=1               stop after zero-shot (skip run-B finetune)
 #   SYNTH_PRETRAIN_EPOCHS          run-B pretrain epochs   (default 8)
+#   SYNTH_SHARED=1                 shared-kernel corpus variant (mechanism
+#                                  experiment, VERDICT r3 item 3)
+#   SYNTH_FT_EPOCHS                per-stage finetune epoch cap (default 16;
+#                                  set ~30 so patience — not the cap —
+#                                  terminates stage 2, VERDICT r3 item 4)
 set -uo pipefail
 cd "$(dirname "$0")/.."
 SCALE="${SYNTH_SCALE:-paper}"
 DIR="${SYNTH_DIR:-runs}"
 PRE_EPOCHS="${SYNTH_PRETRAIN_EPOCHS:-8}"
+FT_EPOCHS="${SYNTH_FT_EPOCHS:-16}"
+SHARED_FLAG=""; WANT_SHARED=false
+[ -n "${SYNTH_SHARED:-}" ] && { SHARED_FLAG=--shared_kernel; WANT_SHARED=true; }
 mkdir -p "$DIR"
 PROD="--attention_impl pallas --scan_layers --remat --remat_policy dots_attn"
 
 stamp() { echo "[protocol $(date +%H:%M:%S)] $*" | tee -a "$DIR"/protocol.log; }
+# artifact guard (VERDICT r3 item 7): a stage may not "finish" silently —
+# its output artifact must exist or the chain aborts here and now
+require() { [ -e "$1" ] || { stamp "ABORT: stage '$2' finished without its artifact $1"; exit 9; }; }
 
 # 0. corpus (paper scale: 5.3k/11k finetune, disjoint 8k/16k pretrain)
 if [ ! -f "$DIR"/synth/stats.json ]; then
-  stamp "generating corpus (scale=$SCALE)"
+  stamp "generating corpus (scale=$SCALE shared=$WANT_SHARED)"
   python -m recformer_tpu.pipelines.synthetic --out "$DIR"/synth --scale "$SCALE" \
-    2>&1 | tee "$DIR"/gen.log
+    $SHARED_FLAG 2>&1 | tee "$DIR"/gen.log
+fi
+require "$DIR"/synth/stats.json "corpus"
+GOT_SHARED=$(python -c "import json;print(str(json.load(open('$DIR/synth/stats.json')).get('shared_kernel',False)).lower())")
+if [ "$GOT_SHARED" != "$WANT_SHARED" ]; then
+  stamp "ABORT: $DIR/synth holds shared_kernel=$GOT_SHARED corpus but this run wants $WANT_SHARED — use a fresh SYNTH_DIR"
+  exit 3
 fi
 
 # A. two-stage finetune from random init (reference defaults: B=16, accum 8,
@@ -43,9 +60,13 @@ if [ -z "${SYNTH_SKIP_A:-}" ] && [ ! -f "$DIR"/ftA/finetune/test_metrics.json ];
   stamp "run A: two-stage finetune, random init"
   RESUME=""; [ -f "$DIR"/ftA/finetune/loop_state/loop.json ] && RESUME=--resume
   python -m recformer_tpu.cli.finetune --data_path "$DIR"/synth/finetune \
+    --num_train_epochs "$FT_EPOCHS" \
     --output_dir "$DIR"/ftA $PROD $RESUME 2>&1 | tee -a "$DIR"/ftA.log
 fi
-[ -z "${SYNTH_SKIP_A:-}" ] && stamp "run A done: $(cat "$DIR"/ftA/finetune/test_metrics.json 2>/dev/null)"
+if [ -z "${SYNTH_SKIP_A:-}" ]; then
+  require "$DIR"/ftA/finetune/test_metrics.json "run A"
+  stamp "run A done: $(cat "$DIR"/ftA/finetune/test_metrics.json 2>/dev/null)"
+fi
 
 # B1. pretrain on the DISJOINT item universe (canonical recipe; 8 epochs =
 #     2k optimizer steps at eff. batch 64 at paper scale — enough to measure
@@ -85,6 +106,7 @@ if [ ! -f "$DIR"/zeroshot.json ]; then
     --ckpt "$DIR"/converted/seqrec $PROD --output_file "$DIR"/zeroshot.json \
     2>&1 | tee "$DIR"/zeroshot.log
 fi
+require "$DIR"/zeroshot.json "zero-shot"
 stamp "run B zero-shot: $(cat "$DIR"/zeroshot.json 2>/dev/null)"
 
 # B4. two-stage finetune from the pretrained init
@@ -92,8 +114,12 @@ if [ -z "${SYNTH_SKIP_FTB:-}" ] && [ ! -f "$DIR"/ftB/finetune/test_metrics.json 
   stamp "run B: two-stage finetune from pretrain"
   RESUME=""; [ -f "$DIR"/ftB/finetune/loop_state/loop.json ] && RESUME=--resume
   python -m recformer_tpu.cli.finetune --data_path "$DIR"/synth/finetune \
+    --num_train_epochs "$FT_EPOCHS" \
     --output_dir "$DIR"/ftB --pretrain_ckpt "$DIR"/converted/seqrec $PROD $RESUME \
     2>&1 | tee -a "$DIR"/ftB.log
+fi
+if [ -z "${SYNTH_SKIP_FTB:-}" ]; then
+  require "$DIR"/ftB/finetune/test_metrics.json "run B finetune"
   stamp "run B done: $(cat "$DIR"/ftB/finetune/test_metrics.json 2>/dev/null)"
 fi
 stamp "ALL DONE"
