@@ -196,7 +196,7 @@ def main():
     ap.add_argument("--scan_unroll", type=int, default=1)
     ap.add_argument("--scan_layers", action="store_true")
     ap.add_argument("--no-dropout", action="store_true", dest="no_dropout")
-    ap.add_argument("--ln", choices=["xla", "pallas_bwd"], default="xla")
+    ap.add_argument("--ln", choices=["xla", "pallas_bwd", "split_bwd"], default="xla")
     ap.add_argument("--compile-only", action="store_true", dest="compile_only",
                     help="lower+compile the pretrain program for this config "
                          "(warming the persistent cache) without any device "
@@ -249,7 +249,8 @@ def main():
         f"-{args.remat_policy}" if args.remat and args.remat_policy != "full" else "") + (
         "-nodrop" if args.no_dropout else "") + (
         f"-u{args.scan_unroll}" if args.scan_unroll > 1 else "") + (
-        "-plnbwd" if getattr(args, "ln", "xla") == "pallas_bwd" else "")
+        "-plnbwd" if getattr(args, "ln", "xla") == "pallas_bwd" else "") + (
+        "-plnsplit" if getattr(args, "ln", "xla") == "split_bwd" else "")
     record = {}
     if os.path.exists(ref_path):
         try:
@@ -290,7 +291,8 @@ def main():
         anchor = (f"pretrain-{args.model}-{args.attention}-b{args.batch_size}"
                   "-scan-remat-dots_attn"
                   + ("-nodrop" if args.no_dropout else "")
-                  + ("-plnbwd" if args.ln == "pallas_bwd" else ""))
+                  + ("-plnbwd" if args.ln == "pallas_bwd" else "")
+                  + ("-plnsplit" if args.ln == "split_bwd" else ""))
         out["production_config"] = "unrolled-noremat"
         out["production_value"] = out["value"]
         # read-only lookup: the anchor names a scan+remat config that this

@@ -80,7 +80,10 @@ class RecformerConfig:
     # "xla": nn.LayerNorm everywhere; "pallas_bwd": jnp forward (still
     # XLA-fused into the producing GEMM) + fused Pallas backward kernel for
     # the encoder-block LayerNorms (profile: the XLA LN-backward epilogue
-    # quadruples the attached GEMM's time — docs/PERF.md)
+    # quadruples the attached GEMM's time — docs/PERF.md); "split_bwd":
+    # jnp forward + jnp backward with an optimization_barrier cutting only
+    # the cross-row dgamma/dbeta reductions out of the dW-GEMM fusion (the
+    # dx chain stays fusable — per-row lane reductions)
     ln_impl: str = "xla"
     # How the key_global/value_global projections are applied. The global
     # query rows (<= 1 per sequence) are the ONLY consumers of those two
@@ -203,7 +206,7 @@ class RecformerConfig:
             raise ValueError(f"unknown attention_impl {self.attention_impl!r}")
         if self.embed_ln_impl not in ("xla", "pallas"):
             raise ValueError(f"unknown embed_ln_impl {self.embed_ln_impl!r}")
-        if self.ln_impl not in ("xla", "pallas_bwd"):
+        if self.ln_impl not in ("xla", "pallas_bwd", "split_bwd"):
             raise ValueError(f"unknown ln_impl {self.ln_impl!r}")
         if self.global_kv_mode not in ("thin", "full"):
             raise ValueError(f"unknown global_kv_mode {self.global_kv_mode!r}")

@@ -223,6 +223,14 @@ def _block_layernorm(cfg, x):
         interpret = jax.default_backend() != "tpu"
         return pallas_layernorm(x.astype(cfg.compute_dtype),
                                 scale, bias, cfg.layer_norm_eps, interpret)
+    if cfg.ln_impl == "split_bwd":
+        from ..models.embeddings import _LayerNormParams
+        from ..ops.pallas_layernorm import split_layernorm
+
+        scale, bias = _LayerNormParams(cfg.hidden_size, cfg.params_dtype,
+                                       name="output_LayerNorm")()
+        return split_layernorm(x.astype(cfg.compute_dtype),
+                               scale, bias, cfg.layer_norm_eps)
     return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.compute_dtype,
                         param_dtype=cfg.params_dtype,
                         name="output_LayerNorm")(x)

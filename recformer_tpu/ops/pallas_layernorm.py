@@ -124,3 +124,49 @@ def _pln_bwd(eps, interpret, res, dout):
 
 
 pallas_layernorm.defvjp(_pln_fwd, _pln_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def split_layernorm(x, scale, bias, eps):
+    """LayerNorm with a SPLIT XLA backward (``ln_impl='split_bwd'``).
+
+    Perf probe for the documented GEMM-epilogue headroom (docs/PERF.md: ~12
+    LN-backward-fused GEMMs at 0.95 ms vs 0.20 bare; the whole-grad Pallas
+    move was a wash): keep the row-local dx chain as plain jnp — XLA may
+    still fuse it into the dW GEMM that consumes it, those are per-row lane
+    reductions — but cut the CROSS-ROW dgamma/dbeta reductions out of that
+    fusion with an optimization_barrier on their inputs, so the serializing
+    (M,)-axis sums run as their own small read-bound kernel instead of
+    inside the GEMM's write path."""
+    return _ln_forward_math(x, scale, bias, eps)
+
+
+def _sln_fwd(x, scale, bias, eps):
+    return _ln_forward_math(x, scale, bias, eps), (x, scale)
+
+
+def _sln_bwd(eps, res, dout):
+    x, scale = res
+    x32 = x.astype(jnp.float32)
+    dy = dout.astype(jnp.float32)
+    H = x.shape[-1]
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+
+    dyg = dy * scale.astype(jnp.float32)
+    m1 = jnp.mean(dyg, axis=-1, keepdims=True)
+    m2 = jnp.mean(dyg * xhat, axis=-1, keepdims=True)
+    dx = (rstd * (dyg - m1 - xhat * m2)).astype(x.dtype)
+
+    # barrier severs the param-grad reductions from the dx/GEMM fusion
+    dy_b, xhat_b = jax.lax.optimization_barrier((dy, xhat))
+    red_axes = tuple(range(x.ndim - 1))
+    dgamma = jnp.sum(dy_b * xhat_b, axis=red_axes).astype(scale.dtype)
+    dbeta = jnp.sum(dy_b, axis=red_axes).astype(scale.dtype)
+    return dx, dgamma, dbeta
+
+
+split_layernorm.defvjp(_sln_fwd, _sln_bwd)

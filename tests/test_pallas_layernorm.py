@@ -90,6 +90,37 @@ def test_ln_impl_validation():
         RecformerConfig.tiny(ln_impl="nope")
 
 
+@pytest.mark.parametrize("shape", [(4, 32, 64), (3, 200, 64)])
+def test_split_layernorm_value_and_grads(shape):
+    """ln_impl='split_bwd': jnp backward with the dgamma/dbeta barrier must
+    be numerically identical to the reference LN (same math, only fusion
+    boundaries differ)."""
+    from recformer_tpu.ops.pallas_layernorm import split_layernorm
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32)) * 2.0
+    scale = jnp.asarray(rng.standard_normal(shape[-1]).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(shape[-1]).astype(np.float32))
+    eps = 1e-5
+
+    out = split_layernorm(x, scale, bias, eps)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_ref_ln(x, scale, bias, eps)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_s(x, s, b):
+        return jnp.sum(jnp.sin(split_layernorm(x, s, b, eps)))
+
+    def loss_r(x, s, b):
+        return jnp.sum(jnp.sin(_ref_ln(x, s, b, eps)))
+
+    gs = jax.grad(loss_s, argnums=(0, 1, 2))(x, scale, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(gs, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-5)
+
+
 def test_bwd_odd_row_count_keeps_block_bounded():
     """An M not divisible by DEFAULT_BLOCK_ROWS must pick the largest divisor
     <= the default block, not collapse to one whole-input program."""
