@@ -402,3 +402,39 @@ def test_fraud_driver_resume(artifacts, tmp_path, monkeypatch):
     resumed = F.main(common + ["--output_dir", str(out), "--resume"])
     assert resumed == ref
     assert not (out / name / "loop_state").exists()  # cleaned on completion
+
+
+def test_fraud_resume_refuses_optimizer_recipe_change(artifacts, tmp_path):
+    """A loop_state saved under one optimizer recipe must not be restored
+    into a different one: head_lr switches the opt_state to a
+    multi_transform structure and restore would unflatten old leaves into
+    the wrong tree (advisor r3). The driver records the recipe in loop.json
+    and refuses a mismatched --resume."""
+    from recformer_tpu.cli import finetune_classification as F
+
+    rng = np.random.default_rng(9)
+    root = tmp_path / "fraud_data"
+    os.makedirs(root)
+    for name in ("train.json", "val.json", "test.json"):
+        data = {}
+        for u in range(10):
+            seq = [int(x) for x in rng.integers(0, 25, size=rng.integers(3, 6))]
+            data[u] = [seq, [int(rng.random() < 0.3)]]
+        write_json(data, str(root / name))
+    for f in ("meta_data.json", "smap.json"):
+        write_json(json.load(open(artifacts / f)), str(root / f))
+
+    out = tmp_path / "out"
+    dname = os.path.basename(str(root))
+    loop_dir = out / dname / "loop_state"
+    os.makedirs(loop_dir)
+    with open(loop_dir / "loop.json", "w") as f:
+        json.dump({"epoch": 0, "best_f1": 0.0, "patience": 3,
+                   "recipe": {"learning_rate": 5e-5, "head_lr": None},
+                   "epoch_metrics": []}, f)
+
+    common = ["--data_path", str(root), "--model_size", "tiny",
+              "--num_train_epochs", "1", "--batch_size", "8",
+              "--eval_batch_size", "8", "--output_dir", str(out)]
+    with pytest.raises(SystemExit, match="recipe"):
+        F.main(common + ["--resume", "--head_lr", "1e-3"])
