@@ -101,6 +101,9 @@ def parse_args(argv=None):
                         "trade little accuracy for speed vs the 1024 default)")
     p.add_argument("--scan_unroll", type=int, default=None,
                    help="layers per lax.scan iteration (cross-layer fusion vs program size)")
+    p.add_argument("--ln_impl", choices=["xla", "pallas_bwd", "split_bwd"], default=None,
+                   help="encoder-block LayerNorm implementation (perf knob; "
+                        "see config.ln_impl)")
     p.add_argument("--save_top_k", type=int, default=5)
     p.add_argument("--zero", action="store_true",
                    help="ZeRO-1-style optimizer-state sharding over the data axis")
