@@ -43,8 +43,9 @@ def test_pallas_layernorm_value_and_grads(shape):
                                    rtol=2e-4, atol=1e-5)
 
 
-def test_model_ln_impl_parity():
-    """Full tiny model: ln_impl='pallas_bwd' == 'xla' values and grads."""
+@pytest.mark.parametrize("impl", ["pallas_bwd", "split_bwd"])
+def test_model_ln_impl_parity(impl):
+    """Full tiny model: ln_impl variant == 'xla' values and grads."""
     from __graft_entry__ import _synthetic_table
     from recformer_tpu.data.device_pipeline import assemble_for_config
     from recformer_tpu.models.recformer import RecformerModel
@@ -54,7 +55,7 @@ def test_model_ln_impl_parity():
                 attention_probs_dropout_prob=0.0, dtype="float32",
                 attention_impl="chunked")
     cfg_x = RecformerConfig.tiny(**base)
-    cfg_p = RecformerConfig.tiny(ln_impl="pallas_bwd", **base)
+    cfg_p = RecformerConfig.tiny(ln_impl=impl, **base)
     table = _synthetic_table(cfg_x, 12)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, 12, size=(4, 6)).astype(np.int32))
