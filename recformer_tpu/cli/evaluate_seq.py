@@ -59,6 +59,13 @@ def parse_args(argv=None):
                         "metric (the catalog is part of the checkpoint; a "
                         "fresh encode is the zero-shot protocol instead)")
     p.add_argument("--output_file", type=str, default=None)
+    p.add_argument("--sharded_eval", type=int, default=0, metavar="N_SHARDS",
+                   help="rank with the item catalog row-sharded over N "
+                        "devices ('model' mesh axis) via explicit shard_map "
+                        "collectives (parallel/catalog.py) instead of the "
+                        "default single-table GSPMD path — the (B, N) score "
+                        "matrix is never materialized on one device "
+                        "(reference keeps both on ONE GPU, models.py:539-545)")
     return p.parse_args(argv)
 
 
@@ -93,8 +100,24 @@ def main(argv=None):
                                     f"item_emb_{name}.npz"))
     max_items = max(max((len(s) for s in train.values()), default=1), 1) + 1
     ds = EvalDataset(train, val, test, args.split, max_items=max_items)
-    metrics = evaluate_seqrec(params, model, table, ds, item_embeddings, config,
-                              args.batch_size, log=print)
+    if args.sharded_eval:
+        import jax
+
+        from ..parallel.mesh import make_mesh
+        from ..training.loops import evaluate_seqrec_sharded
+
+        n_model = args.sharded_eval
+        n_dev = len(jax.devices())
+        if n_dev % n_model:
+            raise SystemExit(f"--sharded_eval {n_model} does not divide the "
+                             f"{n_dev} available devices")
+        mesh = make_mesh(n_data=n_dev // n_model, n_model=n_model)
+        metrics = evaluate_seqrec_sharded(params, model, table, ds,
+                                          item_embeddings, config, mesh,
+                                          args.batch_size)
+    else:
+        metrics = evaluate_seqrec(params, model, table, ds, item_embeddings,
+                                  config, args.batch_size, log=print)
     print(f"{args.split} set: {metrics}")
     if args.output_file:
         with open(args.output_file, "w") as f:

@@ -83,6 +83,11 @@ def parse_args(argv=None):
                    help="continue an interrupted run from the rolling "
                         "per-epoch checkpoint under output_dir")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mirror_file", default=None,
+                   help="append-only JSONL mirror of every dev/test metric "
+                        "row, written the moment each is produced — point it "
+                        "at a durable (committed) location so an interrupted "
+                        "run loses checkpoints, never numbers")
     return p.parse_args(argv)
 
 
@@ -140,9 +145,13 @@ def main(argv=None):
         verbose=args.verbose, rng=jax.random.PRNGKey(args.seed),
         steps_per_call=args.steps_per_call,
         encode_cache=os.path.join(cache_dir, f"item_emb_init_{name}.npz"),
-        resume_dir=resume_dir,
+        resume_dir=resume_dir, mirror_path=args.mirror_file,
     )
     print(f"Test set: {test_metrics}")
+    if args.mirror_file:
+        stem = args.mirror_file.rsplit(".", 1)[0]
+        with open(f"{stem}_test_metrics.json", "w") as f:
+            json.dump(test_metrics, f, indent=2)
 
     out = os.path.join(args.output_dir, name)
     os.makedirs(out, exist_ok=True)

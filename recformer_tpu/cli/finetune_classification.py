@@ -33,6 +33,7 @@ from ..training.loops import evaluate_fraud
 from ..training.optimizer import create_optimizer
 from ..training.steps import TrainState, make_fraud_train_step
 from ..utils.io import read_json
+from ..utils.logging import append_jsonl
 from .common import (
     build_config,
     init_model_params,
@@ -102,6 +103,9 @@ def parse_args(argv=None):
                         "pre-staged batches; bit-equal to sequential steps, "
                         "amortizes the ~1.8s axon-relay dispatch)")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mirror_file", default=None,
+                   help="append-only JSONL mirror of every epoch/test metric "
+                        "row (durable location; survives loss of output_dir)")
     return p.parse_args(argv)
 
 
@@ -237,6 +241,7 @@ def main(argv=None):
         print(f"[fraud] epoch {epoch} loss {epoch_loss:.4f} dev {dev}")
         epoch_metrics.append({"epoch": epoch, "loss": epoch_loss, **{
             k: v for k, v in dev.items() if k != "confusion"}})
+        append_jsonl(args.mirror_file, {"event": "dev", **epoch_metrics[-1]})
         improved = dev["f1"] > best_f1
         if improved:
             best_f1 = dev["f1"]
@@ -262,6 +267,9 @@ def main(argv=None):
     test_metrics = evaluate_fraud(state.params, model, table, test_ds, config,
                                   args.eval_batch_size)
     print(f"[fraud] test {test_metrics}")
+    append_jsonl(args.mirror_file,
+                 {"event": "test",
+                  **{k: v for k, v in test_metrics.items() if k != "confusion"}})
 
     out = os.path.join(args.output_dir, name)
     os.makedirs(out, exist_ok=True)

@@ -123,6 +123,9 @@ def parse_args(argv=None):
     p.add_argument("--log_dir", type=str, default=None,
                    help="JSONL (+TensorBoard if available) metrics directory")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--mirror_file", default=None,
+                   help="append-only JSONL mirror of every logged metric row "
+                        "(durable location; survives loss of output_dir)")
     return p.parse_args(argv)
 
 
@@ -288,7 +291,8 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     topk = TopKCheckpointManager(os.path.join(args.output_dir, "topk"),
                                  k=args.save_top_k, mode="max")
-    logger = MetricsLogger(args.log_dir or os.path.join(args.output_dir, "logs"))
+    logger = MetricsLogger(args.log_dir or os.path.join(args.output_dir, "logs"),
+                           mirror_path=args.mirror_file)
     meters = AverageMeterSet()
     global_step = 0
     last_log_step = 0

@@ -113,7 +113,10 @@ def make_sharded_full_softmax_loss_fn(mesh: Mesh, temp: float):
         logits = similarity_scores(pooled.astype(jnp.float32),
                                    emb_shard.astype(jnp.float32), temp)  # (B, N_local)
         local_max = jnp.max(logits, axis=1)
-        global_max = jax.lax.pmax(local_max, MODEL_AXIS)
+        # pmax has no autodiff rule; the max is only a stability shift whose
+        # gradient contributions cancel in Z - label_logit, so stop_gradient
+        # BEFORE the collective (after still fails — see parallel/sequence.py).
+        global_max = jax.lax.pmax(jax.lax.stop_gradient(local_max), MODEL_AXIS)
         sumexp = jnp.sum(jnp.exp(logits - global_max[:, None]), axis=1)
         Z = jnp.log(jax.lax.psum(sumexp, MODEL_AXIS)) + global_max  # (B,)
 

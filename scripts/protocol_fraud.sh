@@ -51,7 +51,9 @@ PRE_EPOCHS="${FRAUD_PRETRAIN_EPOCHS:-24}"
 CLS_EPOCHS="${FRAUD_CLS_EPOCHS:-16}"
 PATIENCE="${FRAUD_PATIENCE:-5}"
 HEAD_LR="${FRAUD_HEAD_LR:-1e-3}"
-mkdir -p "$DIR"
+# durable per-epoch metric mirror (VERDICT r4 weak #5)
+MIRROR="${FRAUD_MIRROR_DIR:-docs/artifacts/protocol_r5}"
+mkdir -p "$DIR" "$MIRROR"
 
 stamp() { echo "[fraud-protocol $(date +%H:%M:%S)] $*" | tee -a "$DIR"/protocol.log; }
 # artifact guard (VERDICT r3 item 7): a stage may not "finish" silently
@@ -82,6 +84,7 @@ if [ ! -f "$DIR"/fraudA/classification_data/test_metrics.json ]; then
     --data_path "$DIR"/artifacts/classification_data \
     --output_dir "$DIR"/fraudA $PROD $R --head_lr "$HEAD_LR" \
     --num_train_epochs "$CLS_EPOCHS" --patience "$PATIENCE" \
+    --mirror_file "$MIRROR/fraudA_dev.jsonl" \
     2>&1 | tee -a "$DIR"/fraudA.log
 fi
 require "$DIR"/fraudA/classification_data/test_metrics.json "C3"
@@ -95,6 +98,7 @@ if [ ! -f "$DIR"/pretrain/config.json ]; then
   python -m recformer_tpu.cli.pretrain --data_path "$DIR"/artifacts/pretrain_data \
     --output_dir "$DIR"/pretrain $PROD --steps_per_call 16 $PRESUME \
     --num_train_epochs "$PRE_EPOCHS" --warmup_steps 100 --valid_step_interval 200 \
+    --mirror_file "$MIRROR/fraud_pretrain_metrics.jsonl" \
     2>&1 | tee -a "$DIR"/pretrain.log
 fi
 
@@ -113,6 +117,7 @@ if [ ! -f "$DIR"/fraudB/classification_data/test_metrics.json ]; then
     --pretrain_ckpt "$DIR"/converted/fraud \
     --output_dir "$DIR"/fraudB $PROD $R --head_lr "$HEAD_LR" \
     --num_train_epochs "$CLS_EPOCHS" --patience "$PATIENCE" \
+    --mirror_file "$MIRROR/fraudB_dev.jsonl" \
     2>&1 | tee -a "$DIR"/fraudB.log
 fi
 require "$DIR"/fraudB/classification_data/test_metrics.json "C4"

@@ -31,9 +31,13 @@ SCALE="${SYNTH_SCALE:-paper}"
 DIR="${SYNTH_DIR:-runs}"
 PRE_EPOCHS="${SYNTH_PRETRAIN_EPOCHS:-8}"
 FT_EPOCHS="${SYNTH_FT_EPOCHS:-16}"
-SHARED_FLAG=""; WANT_SHARED=false
-[ -n "${SYNTH_SHARED:-}" ] && { SHARED_FLAG=--shared_kernel; WANT_SHARED=true; }
-mkdir -p "$DIR"
+SHARED_FLAG=""; WANT_SHARED=false; PFX=""
+[ -n "${SYNTH_SHARED:-}" ] && { SHARED_FLAG=--shared_kernel; WANT_SHARED=true; PFX=mech_; }
+# Durable per-epoch metric mirror (VERDICT r4 weak #5: a VM recycle wiping
+# $DIR must lose checkpoints, never numbers). Every driver below appends its
+# dev/test rows here the moment they are produced; commit this dir often.
+MIRROR="${SYNTH_MIRROR_DIR:-docs/artifacts/protocol_r5}"
+mkdir -p "$DIR" "$MIRROR"
 PROD="--attention_impl pallas --scan_layers --remat --remat_policy dots_attn"
 
 stamp() { echo "[protocol $(date +%H:%M:%S)] $*" | tee -a "$DIR"/protocol.log; }
@@ -60,7 +64,7 @@ if [ -z "${SYNTH_SKIP_A:-}" ] && [ ! -f "$DIR"/ftA/finetune/test_metrics.json ];
   stamp "run A: two-stage finetune, random init"
   RESUME=""; [ -f "$DIR"/ftA/finetune/loop_state/loop.json ] && RESUME=--resume
   python -m recformer_tpu.cli.finetune --data_path "$DIR"/synth/finetune \
-    --num_train_epochs "$FT_EPOCHS" \
+    --num_train_epochs "$FT_EPOCHS" --mirror_file "$MIRROR/${PFX}ftA_dev.jsonl" \
     --output_dir "$DIR"/ftA $PROD $RESUME 2>&1 | tee -a "$DIR"/ftA.log
 fi
 if [ -z "${SYNTH_SKIP_A:-}" ]; then
@@ -79,6 +83,7 @@ if [ ! -f "$DIR"/pretrain/config.json ]; then
   python -m recformer_tpu.cli.pretrain --data_path "$DIR"/synth/pretrain \
     --output_dir "$DIR"/pretrain $PROD --steps_per_call 16 $PRESUME \
     --num_train_epochs "$PRE_EPOCHS" --warmup_steps 200 --valid_step_interval 1000 \
+    --mirror_file "$MIRROR/${PFX}pretrain_metrics.jsonl" \
     2>&1 | tee "$DIR"/pretrain.log
 fi
 
@@ -107,6 +112,8 @@ if [ ! -f "$DIR"/zeroshot.json ]; then
     2>&1 | tee "$DIR"/zeroshot.log
 fi
 require "$DIR"/zeroshot.json "zero-shot"
+cp "$DIR"/zeroshot.json "$MIRROR/${PFX}zeroshot.json"
+cp "$DIR"/synth/stats.json "$MIRROR/${PFX}stats.json"
 stamp "run B zero-shot: $(cat "$DIR"/zeroshot.json 2>/dev/null)"
 
 # B4. two-stage finetune from the pretrained init
@@ -114,7 +121,7 @@ if [ -z "${SYNTH_SKIP_FTB:-}" ] && [ ! -f "$DIR"/ftB/finetune/test_metrics.json 
   stamp "run B: two-stage finetune from pretrain"
   RESUME=""; [ -f "$DIR"/ftB/finetune/loop_state/loop.json ] && RESUME=--resume
   python -m recformer_tpu.cli.finetune --data_path "$DIR"/synth/finetune \
-    --num_train_epochs "$FT_EPOCHS" \
+    --num_train_epochs "$FT_EPOCHS" --mirror_file "$MIRROR/${PFX}ftB_dev.jsonl" \
     --output_dir "$DIR"/ftB --pretrain_ckpt "$DIR"/converted/seqrec $PROD $RESUME \
     2>&1 | tee -a "$DIR"/ftB.log
 fi

@@ -74,6 +74,24 @@ def test_evaluate_driver(artifacts, tmp_path):
     assert out_file.exists()
 
 
+def test_evaluate_driver_sharded_matches_gspmd(artifacts, tmp_path):
+    """--sharded_eval (explicit shard_map rank, VERDICT r4 weak #6) must
+    reproduce the default GSPMD path's metrics on the same checkpoint."""
+    from recformer_tpu.cli.evaluate_seq import main
+
+    common = [
+        "--data_path", str(artifacts),
+        "--ckpt", "",
+        "--model_size", "tiny",
+        "--batch_size", "8",
+        "--encode_batch_size", "8",
+    ]
+    dense = main(common)
+    sharded = main(common + ["--sharded_eval", "4"])
+    for k in dense:
+        assert abs(dense[k] - sharded[k]) < 1e-4, (k, dense[k], sharded[k])
+
+
 def test_cluster_driver(artifacts, tmp_path):
     from recformer_tpu.cli.cluster import main
 
