@@ -116,7 +116,9 @@ def bench_pretrain(cfg, table, item_ids, seq_lens, steps):
     return steps * B / dt, "pretrain_examples_per_sec_per_chip", "examples/s/chip"
 
 
-def bench_encode(cfg, table, item_ids, seq_lens, steps, batch_size):
+def _encode_program(cfg, table, steps, batch_size):
+    """(run_n, make_args) for the encode task — shared by the measuring and
+    compile-only paths so the persistent-cache key is identical."""
     from recformer_tpu.models.heads import RecformerForSeqRec
     from recformer_tpu.training.steps import make_encode_items_step
 
@@ -126,13 +128,16 @@ def bench_encode(cfg, table, item_ids, seq_lens, steps, batch_size):
         for k in ("input_ids", "attention_mask", "global_attention_mask",
                   "token_type_ids", "item_position_ids")
     }
-    params = model.init(jax.random.PRNGKey(0), dummy)
     step = make_encode_items_step(cfg, model)
     n_items = int(table["lengths"].shape[0]) - 1
-    # DIFFERENT chunk per scan step: a loop-invariant body would be hoisted
-    # out of the scan by XLA and the measurement would be fiction
-    chunks = jnp.asarray(np.random.default_rng(0).integers(
-        0, n_items, size=(steps, batch_size)).astype(np.int32))
+
+    def make_args():
+        params = model.init(jax.random.PRNGKey(0), dummy)
+        # DIFFERENT chunk per scan step: a loop-invariant body would be
+        # hoisted out of the scan by XLA and the measurement would be fiction
+        chunks = jnp.asarray(np.random.default_rng(0).integers(
+            0, n_items, size=(steps, batch_size)).astype(np.int32))
+        return params, table, chunks
 
     @jax.jit
     def run_n(params, table, chunks):
@@ -143,11 +148,17 @@ def bench_encode(cfg, table, item_ids, seq_lens, steps, batch_size):
         acc, _ = jax.lax.scan(body, jnp.zeros(()), chunks)
         return acc
 
-    dt = _timed(run_n, params, table, chunks)
+    return run_n, make_args
+
+
+def bench_encode(cfg, table, item_ids, seq_lens, steps, batch_size):
+    run_n, make_args = _encode_program(cfg, table, steps, batch_size)
+    dt = _timed(run_n, *make_args())
     return steps * batch_size / dt, "item_encode_items_per_sec_per_chip", "items/s/chip"
 
 
-def bench_eval(cfg, table, item_ids, seq_lens, steps, n_items):
+def _eval_program(cfg, table, item_ids, seq_lens, steps, n_items):
+    """(run_n, make_args) for the ranked-eval task (see _encode_program)."""
     from recformer_tpu.models.heads import RecformerForSeqRec
     from recformer_tpu.training.steps import make_eval_step
 
@@ -157,17 +168,20 @@ def bench_eval(cfg, table, item_ids, seq_lens, steps, n_items):
         for k in ("input_ids", "attention_mask", "global_attention_mask",
                   "token_type_ids", "item_position_ids")
     }
-    params = model.init(jax.random.PRNGKey(0), dummy)
     step = make_eval_step(cfg, model)
     B = item_ids.shape[0]
     S_in = item_ids.shape[1]
-    rng = np.random.default_rng(0)
-    # different batch per scan step (see bench_encode on LICM)
-    ids_stack = jnp.asarray(rng.integers(0, n_items, size=(steps, B, S_in)).astype(np.int32))
-    lens_stack = jnp.asarray(rng.integers(S_in // 2, S_in + 1, size=(steps, B)).astype(np.int32))
-    labels_stack = jnp.asarray(rng.integers(0, n_items, size=(steps, B)).astype(np.int32))
-    valid = jnp.ones(B, bool)
-    item_emb = jnp.asarray(rng.standard_normal((n_items, cfg.hidden_size)).astype(np.float32))
+
+    def make_args():
+        params = model.init(jax.random.PRNGKey(0), dummy)
+        rng = np.random.default_rng(0)
+        # different batch per scan step (see _encode_program on LICM)
+        ids_stack = jnp.asarray(rng.integers(0, n_items, size=(steps, B, S_in)).astype(np.int32))
+        lens_stack = jnp.asarray(rng.integers(S_in // 2, S_in + 1, size=(steps, B)).astype(np.int32))
+        labels_stack = jnp.asarray(rng.integers(0, n_items, size=(steps, B)).astype(np.int32))
+        valid = jnp.ones(B, bool)
+        item_emb = jnp.asarray(rng.standard_normal((n_items, cfg.hidden_size)).astype(np.float32))
+        return params, table, ids_stack, lens_stack, labels_stack, valid, item_emb
 
     @jax.jit
     def run_n(params, table, ids_stack, lens_stack, labels_stack, valid, item_emb):
@@ -179,8 +193,13 @@ def bench_eval(cfg, table, item_ids, seq_lens, steps, n_items):
         acc, _ = jax.lax.scan(body, jnp.zeros(()), (ids_stack, lens_stack, labels_stack))
         return acc
 
-    dt = _timed(run_n, params, table, ids_stack, lens_stack, labels_stack, valid, item_emb)
-    return steps * B / dt, "eval_users_per_sec_per_chip", "users/s/chip"
+    return run_n, make_args
+
+
+def bench_eval(cfg, table, item_ids, seq_lens, steps, n_items):
+    run_n, make_args = _eval_program(cfg, table, item_ids, seq_lens, steps, n_items)
+    dt = _timed(run_n, *make_args())
+    return steps * item_ids.shape[0] / dt, "eval_users_per_sec_per_chip", "users/s/chip"
 
 
 def main():
@@ -228,7 +247,19 @@ def main():
     seq_lens = jnp.asarray(rng_np.integers(s_in // 2, s_in + 1, size=B).astype(np.int32))
 
     if args.compile_only:
-        dt = compile_pretrain(cfg, table, item_ids, seq_lens, args.steps)
+        if args.task == "pretrain":
+            dt = compile_pretrain(cfg, table, item_ids, seq_lens, args.steps)
+        else:
+            if args.task == "encode":
+                run_n, make_args = _encode_program(cfg, table, args.steps,
+                                                   max(args.batch_size, 128))
+            else:
+                run_n, make_args = _eval_program(cfg, table, item_ids, seq_lens,
+                                                 args.steps, n_items)
+            args_shape = jax.eval_shape(make_args)
+            t0 = time.perf_counter()
+            run_n.lower(*args_shape).compile()
+            dt = time.perf_counter() - t0
         print(json.dumps({"compiled": True, "task": args.task,
                           "seconds": round(dt, 1)}))
         return
