@@ -79,8 +79,7 @@ def main():
     data_sh = NamedSharding(mesh, P("data"))
 
     def globalize(x, sharding):
-        if sharding is rep:
-            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        # replicated: every process supplies the whole array;
         # data-sharded: this process contributes its local rows
         return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
